@@ -1,0 +1,328 @@
+"""Vectorized f128 arithmetic over 16-bit limbs, backend-agnostic.
+
+Representation: an f128 element is 8 little-endian 16-bit limbs stored in a
+uint32 array of shape (..., 8):   value = sum(limb[i] << (16*i)).
+
+Every operation below uses ONLY uint32 elementwise arithmetic, chosen so that
+no intermediate ever overflows 32 bits:
+
+  * 16x16-bit products fit in uint32 exactly ((2^16-1)^2 < 2^32)
+  * column accumulations are performed on split lo16/hi16 halves, so each
+    accumulator stays below 2^21
+
+This maps directly onto the TPU VPU (8x128 vector unit) with no 64-bit
+integer emulation, which is why the same code runs under numpy (host) and
+jax.numpy (device).  The modulus is p = 2^128 - 45*2^40 + 1 (winterfell
+f128); reduction uses 2^128 ≡ C (mod p) with C = 45*2^40 - 1, folded twice
+plus a final conditional subtract.
+
+Design note (TPU-first): the reference delegates field math to the Rust
+`winter-math` crate on CPU; here the entire NTT / Poseidon / constraint /
+FRI pipeline runs on these limb arrays on-device.
+"""
+
+from __future__ import annotations
+
+import numpy as _np
+
+from . import f128
+
+NLIMB = 8
+LIMB_BITS = 16
+LIMB_MASK = 0xFFFF
+
+# C = 45*2^40 - 1  (2^128 mod p), as 16-bit limbs (3 limbs, 46 bits)
+_C_INT = f128.C128
+C_LIMBS = tuple((_C_INT >> (16 * i)) & 0xFFFF for i in range(3))
+
+# p as 8 limbs
+P_LIMBS = tuple((f128.P >> (16 * i)) & 0xFFFF for i in range(NLIMB))
+
+
+# ---------------------------------------------------------------------------
+# Host-side conversions (numpy only; used at the device boundary)
+# ---------------------------------------------------------------------------
+
+def from_ints(values, xp=_np):
+    """Python ints (nested lists OK) -> limb array of shape (..., 8)."""
+    arr = _np.asarray(
+        [[(int(v) >> (16 * i)) & 0xFFFF for i in range(NLIMB)]
+         for v in _np.asarray(values, dtype=object).reshape(-1)],
+        dtype=_np.uint32,
+    )
+    shape = _np.shape(values) + (NLIMB,)
+    arr = arr.reshape(shape)
+    return xp.asarray(arr) if xp is not _np else arr
+
+
+def to_ints(limbs):
+    """Limb array -> nested list of Python ints (host only)."""
+    a = _np.asarray(limbs, dtype=_np.uint64)
+    flat = a.reshape(-1, NLIMB)
+    out = []
+    for row in flat:
+        v = 0
+        for i in range(NLIMB):
+            v |= int(row[i]) << (16 * i)
+        out.append(v)
+    shape = a.shape[:-1]
+    res = _np.empty(shape, dtype=object)
+    res.reshape(-1)[:] = out
+    return res
+
+
+def zeros(shape, xp=_np):
+    return xp.zeros(tuple(shape) + (NLIMB,), dtype=xp.uint32)
+
+
+def ones(shape, xp=_np):
+    z = _np.zeros(tuple(shape) + (NLIMB,), dtype=_np.uint32)
+    z[..., 0] = 1
+    return xp.asarray(z) if xp is not _np else z
+
+
+def from_u64(values, xp):
+    """uint64-convertible array of small ints -> limb array (no reduction).
+
+    Values must be < 2^64 (always < p).  Works inside jit when `values`
+    is a traced uint32/uint64 array; uses only 32-bit-safe ops.
+    """
+    v = xp.asarray(values)
+    lo = v.astype(xp.uint32)
+    hi = (v >> 32).astype(xp.uint32)
+    limbs = [
+        lo & LIMB_MASK, (lo >> 16) & LIMB_MASK,
+        hi & LIMB_MASK, (hi >> 16) & LIMB_MASK,
+    ]
+    z = xp.zeros_like(limbs[0])
+    return xp.stack(limbs + [z, z, z, z], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Core arithmetic (backend-agnostic: xp is numpy or jax.numpy)
+# ---------------------------------------------------------------------------
+
+def _carry_propagate(cols, xp):
+    """Propagate carries over a list of uint32 columns (each < 2^32-ish).
+
+    Returns list of 16-bit limbs, same length, plus final carry column.
+    """
+    out = []
+    carry = xp.zeros_like(cols[0])
+    for c in cols:
+        s = c + carry
+        out.append(s & LIMB_MASK)
+        carry = s >> 16
+    return out, carry
+
+
+def _ge(a_limbs, b_limbs, xp):
+    """a >= b for limb lists (lexicographic from most significant limb)."""
+    n = len(a_limbs)
+    gt = xp.zeros_like(a_limbs[0]) > 0
+    eq_acc = a_limbs[0] == a_limbs[0]
+    for i in range(n - 1, -1, -1):
+        gt = gt | (eq_acc & (a_limbs[i] > b_limbs[i]))
+        eq_acc = eq_acc & (a_limbs[i] == b_limbs[i])
+    return gt | eq_acc
+
+
+def _sub_limbs(a_limbs, b_limbs, xp):
+    """a - b assuming a >= b; returns 16-bit limb list."""
+    out = []
+    borrow = xp.zeros_like(a_limbs[0])
+    for i in range(len(a_limbs)):
+        d = (a_limbs[i] | xp.uint32(1 << 17)) - b_limbs[i] - borrow
+        out.append(d & LIMB_MASK)
+        borrow = 1 - ((d >> 17) & 1)
+    return out
+
+def _split(x, xp):
+    return [x[..., i] for i in range(x.shape[-1])]
+
+
+def _join(limbs, xp):
+    return xp.stack(limbs, axis=-1)
+
+
+def _cond_sub_p(limbs, xp):
+    """limbs (8x16-bit, value < 2^128): subtract p if >= p."""
+    p = [xp.uint32(v) + xp.zeros_like(limbs[0]) for v in P_LIMBS]
+    ge = _ge(limbs, p, xp)
+    sub = _sub_limbs(limbs, p, xp)
+    return [xp.where(ge, s, a) for s, a in zip(sub, limbs)]
+
+
+def add(a, b, xp):
+    al, bl = _split(a, xp), _split(b, xp)
+    cols = [x + y for x, y in zip(al, bl)]
+    limbs, carry = _carry_propagate(cols, xp)
+    # value < 2p < 2^129; fold the single carry bit: 2^128 ≡ C
+    c = [carry * xp.uint32(v) for v in C_LIMBS] + [xp.zeros_like(carry)] * (NLIMB - 3)
+    cols = [x + y for x, y in zip(limbs, c)]
+    limbs, carry2 = _carry_propagate(cols, xp)
+    # carry2 must be 0 here: limbs<2^128, +C<2^46 only when original >= 2^128
+    limbs = _cond_sub_p(limbs, xp)
+    return _join(limbs, xp)
+
+
+def neg(a, xp):
+    al = _split(a, xp)
+    p = [xp.uint32(v) + xp.zeros_like(al[0]) for v in P_LIMBS]
+    res = _sub_limbs(p, al, xp)
+    # a == 0 -> result 0 (p - 0 = p ≡ 0, must canonicalize)
+    is_zero = al[0] == al[0]
+    for l in al:
+        is_zero = is_zero & (l == 0)
+    return _join([xp.where(is_zero, xp.zeros_like(r), r) for r in res], xp)
+
+
+def sub(a, b, xp):
+    return add(a, neg(b, xp), xp)
+
+
+def mul(a, b, xp):
+    """Full 128x128 -> 256-bit schoolbook product + fold reduction."""
+    al, bl = _split(a, xp), _split(b, xp)
+
+    # 256-bit product columns, split into lo/hi halves to stay in 32 bits
+    lo_cols = [xp.zeros_like(al[0]) for _ in range(2 * NLIMB)]
+    hi_cols = [xp.zeros_like(al[0]) for _ in range(2 * NLIMB)]
+    for i in range(NLIMB):
+        for j in range(NLIMB):
+            prod = al[i] * bl[j]          # < 2^32, exact in uint32
+            lo_cols[i + j] = lo_cols[i + j] + (prod & LIMB_MASK)
+            hi_cols[i + j + 1] = hi_cols[i + j + 1] + (prod >> 16)
+    cols = [l + h for l, h in zip(lo_cols, hi_cols)]
+    limbs, carry = _carry_propagate(cols, xp)  # 16 limbs; carry == 0
+
+    return _reduce_wide(limbs, xp)
+
+
+def _mul_by_c(limbs, xp):
+    """Multiply a limb list by constant C (3 limbs); returns len+3 columns."""
+    n = len(limbs)
+    lo_cols = [xp.zeros_like(limbs[0]) for _ in range(n + 3)]
+    hi_cols = [xp.zeros_like(limbs[0]) for _ in range(n + 3)]
+    for i in range(n):
+        for j, cv in enumerate(C_LIMBS):
+            prod = limbs[i] * xp.uint32(cv)
+            lo_cols[i + j] = lo_cols[i + j] + (prod & LIMB_MASK)
+            hi_cols[i + j + 1] = hi_cols[i + j + 1] + (prod >> 16)
+    return [l + h for l, h in zip(lo_cols, hi_cols)]
+
+
+def _reduce_wide(limbs16, xp):
+    """Reduce a 256-bit value given as 16 16-bit limbs, mod p."""
+    lo = limbs16[:NLIMB]
+    hi = limbs16[NLIMB:]
+
+    # fold 1: hi * C + lo ; hi < 2^128 -> hi*C < 2^174 (11 limbs)
+    cols = _mul_by_c(hi, xp)  # 11 columns
+    for i in range(NLIMB):
+        cols[i] = cols[i] + lo[i]
+    limbs, carry = _carry_propagate(cols, xp)  # 11 limbs; carry==0
+
+    # fold 2: value < 2^175; h2 = limbs[8:11] (< 2^47), h2*C < 2^93
+    l2 = limbs[:NLIMB]
+    h2 = limbs[NLIMB:]
+    cols2 = _mul_by_c(h2, xp)  # 6 columns
+    cols = list(l2)
+    for i in range(len(cols2)):
+        cols[i] = cols[i] + cols2[i]
+    limbs, carry = _carry_propagate(cols, xp)  # 8 limbs + possible carry bit
+
+    # fold 3: carry in {0,1}; carry*2^128 ≡ carry*C
+    c = [carry * xp.uint32(v) for v in C_LIMBS] + [xp.zeros_like(carry)] * (NLIMB - 3)
+    cols = [x + y for x, y in zip(limbs, c)]
+    limbs, carry2 = _carry_propagate(cols, xp)
+
+    limbs = _cond_sub_p(limbs, xp)
+    return _join(limbs, xp)
+
+
+def sqr(a, xp):
+    return mul(a, a, xp)
+
+
+def mul_small(a, k, xp):
+    """Multiply by a small uint (< 2^16) constant."""
+    al = _split(a, xp)
+    ku = xp.uint32(k)
+    lo_cols = [(l * ku) & LIMB_MASK for l in al] + [xp.zeros_like(al[0])]
+    hi_cols = [xp.zeros_like(al[0])] + [(l * ku) >> 16 for l in al]
+    cols = [l + h for l, h in zip(lo_cols, hi_cols)]
+    limbs, carry = _carry_propagate(cols, xp)
+    # value < p * 2^16 < 2^144: 9 limbs + small carry; widen to 16 limbs
+    wide = limbs + [carry] + [xp.zeros_like(carry)] * (16 - len(limbs) - 1)
+    return _reduce_wide(wide, xp)
+
+
+def is_zero(a, xp):
+    al = _split(a, xp)
+    z = al[0] == 0
+    for l in al[1:]:
+        z = z & (l == 0)
+    return z
+
+
+def eq(a, b, xp):
+    al, bl = _split(a, xp), _split(b, xp)
+    e = al[0] == bl[0]
+    for x, y in zip(al[1:], bl[1:]):
+        e = e & (x == y)
+    return e
+
+
+def select(cond, a, b, xp):
+    """cond ? a : b  (cond shape = a.shape[:-1])."""
+    return xp.where(cond[..., None], a, b)
+
+
+def exp_int(a, e: int, xp):
+    """a ** e for a static Python int exponent (square-and-multiply)."""
+    result = None
+    base = a
+    while e > 0:
+        if e & 1:
+            result = base if result is None else mul(result, base, xp)
+        e >>= 1
+        if e:
+            base = mul(base, base, xp)
+    if result is None:
+        return ones(a.shape[:-1], xp)
+    return result
+
+
+def inv(a, xp):
+    """Fermat inverse a^(p-2); zero maps to zero."""
+    return exp_int(a, f128.P - 2, xp)
+
+
+def batch_inv(a, xp):
+    """Batch inversion along axis 0 of a (n, ..., 8) limb array.
+
+    Uses a Montgomery product ladder: ~3 muls per element plus ONE
+    field exponentiation, vs. one exponentiation per element for inv().
+    Zeros map to zeros (winterfell convention).
+    """
+    n = a.shape[0]
+    one = ones(a.shape[1:-1], xp)
+    zero_mask = is_zero(a, xp)
+    safe = select(zero_mask, ones(a.shape[:-1], xp), a, xp)
+
+    # prefix products
+    prefixes = [one]
+    acc = one
+    for i in range(n):
+        acc = mul(acc, safe[i], xp)
+        prefixes.append(acc)
+    total_inv = inv(acc, xp)
+
+    outs = [None] * n
+    acc = total_inv
+    for i in range(n - 1, -1, -1):
+        outs[i] = mul(acc, prefixes[i], xp)
+        acc = mul(acc, safe[i], xp)
+    out = xp.stack(outs, axis=0)
+    return select(zero_mask, zeros(a.shape[:-1], xp), out, xp)
