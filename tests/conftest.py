@@ -1,15 +1,20 @@
 """Test configuration: force CPU JAX with 8 virtual devices.
 
-Real-TPU access in this environment goes through a tunnel with very high
-device->host transfer latency, so correctness tests run on the CPU backend;
-multi-chip sharding tests use 8 virtual CPU devices
-(xla_force_host_platform_device_count).
+The sandbox registers an `axon` PJRT plugin at interpreter start
+(sitecustomize) and force-sets jax_platforms="axon,cpu", routing all JAX
+dispatch through a high-latency TPU tunnel.  Correctness tests must run on
+the CPU backend, so we override the platform selection *after* plugin
+registration, before any backend is initialized.  Multi-chip sharding
+tests use 8 virtual CPU devices (xla_force_host_platform_device_count).
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

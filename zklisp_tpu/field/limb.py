@@ -212,37 +212,78 @@ def _mul_by_c(limbs, xp):
     return [l + h for l, h in zip(lo_cols, hi_cols)]
 
 
-def _reduce_wide(limbs16, xp):
-    """Reduce a 256-bit value given as 16 16-bit limbs, mod p."""
-    lo = limbs16[:NLIMB]
-    hi = limbs16[NLIMB:]
+def _reduce_wide(wide_limbs, xp):
+    """Reduce a wide value (list of 16-bit limbs, any length) mod p.
 
-    # fold 1: hi * C + lo ; hi < 2^128 -> hi*C < 2^174 (11 limbs)
-    cols = _mul_by_c(hi, xp)  # 11 columns
-    for i in range(NLIMB):
-        cols[i] = cols[i] + lo[i]
-    limbs, carry = _carry_propagate(cols, xp)  # 11 limbs; carry==0
+    Repeatedly folds hi * C + lo using 2^128 ≡ C (mod p) until the value
+    fits in 128 bits, then one conditional subtract of p.
+    """
+    limbs = list(wide_limbs)
+    while len(limbs) > NLIMB + 1:
+        lo = limbs[:NLIMB]
+        hi = limbs[NLIMB:]
+        cols = _mul_by_c(hi, xp)           # len(hi) + 3 columns
+        if len(cols) < NLIMB:
+            cols = cols + [xp.zeros_like(cols[0])] * (NLIMB - len(cols))
+        for i in range(NLIMB):
+            cols[i] = cols[i] + lo[i]
+        limbs, carry = _carry_propagate(cols, xp)
+        # value shrank by ~82 bits; carry folds into one extra limb
+        limbs.append(carry & LIMB_MASK)
 
-    # fold 2: value < 2^175; h2 = limbs[8:11] (< 2^47), h2*C < 2^93
-    l2 = limbs[:NLIMB]
-    h2 = limbs[NLIMB:]
-    cols2 = _mul_by_c(h2, xp)  # 6 columns
-    cols = list(l2)
-    for i in range(len(cols2)):
-        cols[i] = cols[i] + cols2[i]
-    limbs, carry = _carry_propagate(cols, xp)  # 8 limbs + possible carry bit
+    # <= 9 limbs now; final fold of the tiny top limb
+    if len(limbs) > NLIMB:
+        lo = limbs[:NLIMB]
+        hi = limbs[NLIMB:]
+        cols = _mul_by_c(hi, xp)
+        cols = cols + [xp.zeros_like(cols[0])] * (NLIMB - len(cols))
+        for i in range(NLIMB):
+            cols[i] = cols[i] + lo[i]
+        limbs, carry = _carry_propagate(cols, xp)
+        limbs = limbs[:NLIMB]
+        # carry in {0,1}: one more fold via +carry*C
+        c = ([carry * xp.uint32(v) for v in C_LIMBS]
+             + [xp.zeros_like(carry)] * (NLIMB - 3))
+        cols = [x + y for x, y in zip(limbs, c)]
+        limbs, _ = _carry_propagate(cols, xp)
 
-    # fold 3: carry in {0,1}; carry*2^128 ≡ carry*C
-    c = [carry * xp.uint32(v) for v in C_LIMBS] + [xp.zeros_like(carry)] * (NLIMB - 3)
-    cols = [x + y for x, y in zip(limbs, c)]
-    limbs, carry2 = _carry_propagate(cols, xp)
-
-    limbs = _cond_sub_p(limbs, xp)
+    limbs = _cond_sub_p(limbs[:NLIMB], xp)
     return _join(limbs, xp)
 
 
 def sqr(a, xp):
     return mul(a, a, xp)
+
+
+def dot(a, b, xp):
+    """Sum_j a[..., j, :] * b[..., j, :] with a SINGLE modular reduction.
+
+    a, b: (..., J, 8) limb arrays with J <= 64.  Accumulates the 256-bit
+    product columns of all J products before reducing once — ~J times
+    cheaper than J muls + J-1 adds.  Used by Poseidon MDS layers, DEEP
+    composition and constraint linear combinations.
+
+    Column-sum bound: each 16-bit half-column gets <= 8 * J terms of
+    < 2^16, so J <= 64 keeps every accumulator below 2^25 << 2^32.
+    """
+    J = a.shape[-2]
+    assert J <= 64, "dot: accumulate bound exceeded; split the sum"
+    al = [a[..., i] for i in range(NLIMB)]   # each (..., J)
+    bl = [b[..., i] for i in range(NLIMB)]
+    shape_out = a.shape[:-2]
+    zero = xp.zeros(shape_out, dtype=xp.uint32)
+    lo_cols = [zero for _ in range(2 * NLIMB)]
+    hi_cols = [zero for _ in range(2 * NLIMB)]
+    for i in range(NLIMB):
+        for j in range(NLIMB):
+            prod = al[i] * bl[j]             # (..., J) uint32, exact
+            lo_cols[i + j] = lo_cols[i + j] + xp.sum(
+                prod & LIMB_MASK, axis=-1, dtype=xp.uint32)
+            hi_cols[i + j + 1] = hi_cols[i + j + 1] + xp.sum(
+                prod >> 16, axis=-1, dtype=xp.uint32)
+    cols = [l + h for l, h in zip(lo_cols, hi_cols)]
+    limbs, carry = _carry_propagate(cols, xp)
+    return _reduce_wide(limbs + [carry], xp)
 
 
 def mul_small(a, k, xp):
