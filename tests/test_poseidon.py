@@ -89,7 +89,7 @@ def test_partitioned_row_hash():
     rng = random.Random(5)
     rows = [[rng.randrange(f128.P) for _ in range(10)] for _ in range(3)]
     got = limb.to_ints(
-        pj.hash_rows_partitioned(limb.from_ints(rows), 2, np))
+        pj.hash_rows_partitioned(limb.from_ints(rows), 5, np))
     exp = [pos.merge_many([pos.hash_elements(r[:5]), pos.hash_elements(r[5:])])
            for r in rows]
     assert [f128.fe_to_bytes_fold(v) for v in got] == exp

@@ -146,23 +146,28 @@ def hash_rows(rows, xp, domain: bytes = b"winter/hash/elements"):
     return sponge_fes(fold_row_chunks(rows, xp), domain, xp)
 
 
-def hash_rows_partitioned(rows, num_partitions: int, xp):
-    """Partitioned row hashing (utils.rs select_partitions_for_trace).
+def hash_rows_partitioned(rows, partition_size: int, xp):
+    """Partitioned row hashing (agg/child.rs hash_row_poseidon).
 
-    Row split into `num_partitions` equal chunks (width padded up), each
-    hashed with hash_elements, combined with merge_many.  With 1 partition
-    this is plain hash_elements.
+    Rows are split into chunks of exactly `partition_size` elements (the
+    last chunk may be smaller), each chunk hashed with hash_elements, and
+    the chunk digests combined with merge_many.  A single chunk reduces to
+    plain hash_elements.
     """
-    if num_partitions <= 1:
-        return hash_rows(rows, xp)
     B, W = rows.shape[0], rows.shape[1]
-    part = -(-W // num_partitions)
-    padded = W if part * num_partitions == W else part * num_partitions
-    if padded != W:
-        rows = xp.concatenate(
-            [rows, limb.zeros((B, padded - W), xp)], axis=1)
-    parts = rows.reshape(B * num_partitions, part, limb.NLIMB)
-    digests = hash_rows(parts, xp).reshape(B, num_partitions, limb.NLIMB)
+    if partition_size >= W:
+        return hash_rows(rows, xp)
+    n_full = W // partition_size
+    rem = W - n_full * partition_size
+    full = rows[:, :n_full * partition_size].reshape(
+        B * n_full, partition_size, limb.NLIMB)
+    digests = hash_rows(full, xp).reshape(B, n_full, limb.NLIMB)
+    if rem:
+        rem_digest = hash_rows(rows[:, n_full * partition_size:], xp)
+        digests = xp.concatenate(
+            [digests, rem_digest[:, None, :]], axis=1)
+    if digests.shape[1] == 1:
+        return digests[:, 0]
     # each 32-byte digest is exactly one sponge chunk (fe + 16 zero bytes)
     return sponge_fes(digests, b"zkl/winter/hash/merge_many", xp)
 

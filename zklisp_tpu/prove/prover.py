@@ -1,0 +1,250 @@
+"""Prover/verifier orchestration (src/prove.rs prove_program et al.).
+
+prove_program: plan segments -> build the full trace once -> per segment:
+derive the segment-local layout + feature mask, slice the trace, compute
+boundary state, prove with the STARK core, wrap into a zl1 StepProof.
+
+verify_proof: the "slow path" that rebuilds the trace to derive boundary
+public inputs, then verifies the inner STARK (prove.rs:802-941).
+"""
+
+from __future__ import annotations
+
+import os
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as _np
+
+from ..air.airpi import (SegmentBoundaries, build_air_pi_for_trace,
+                         compute_vm_usage_mask,
+                         segment_boundaries_from_full)
+from ..air.zk_air import AirPublicInputs, ZkLispAir
+from ..compiler.builder import Program
+from ..core import pi as pi_mod
+from ..field import f128
+from ..trace import build as tb
+from ..trace.layout import Columns, LayoutConfig, STEPS_PER_LEVEL_P2
+from . import planner, stark
+from .formats import StepMeta, StepProof, Zl1Proof
+from .params import (ProofOptions, ProverOptions,
+                     estimate_conjectured_security_bits,
+                     select_partitions_for_trace)
+
+
+class ProveError(Exception):
+    pass
+
+
+def _xp():
+    """Array namespace for the device compute path.
+
+    ZKL_DEVICE=jax routes the limb math through jax.numpy (TPU);
+    default numpy (host).
+    """
+    if os.environ.get("ZKL_DEVICE", "").lower() == "jax":
+        import jax.numpy as jnp
+        return jnp
+    return _np
+
+
+def prove_program(program: Program, pub_inputs: pi_mod.PublicInputs,
+                  opts: ProverOptions) -> List[StepProof]:
+    base_opts = opts.to_proof_options()
+    segments = planner.plan_segments(program, pub_inputs, opts)
+    if not segments:
+        raise ProveError("segment planner returned no segments")
+
+    full_trace = tb.build_trace(program, pub_inputs)
+    suite_id = pub_inputs.program_id
+    rom_acc = (tb.rom_acc_from_program(program)
+               if any(pub_inputs.program_id) else (0, 0, 0))
+
+    max_parallel = max(opts.max_concurrent_segments or 1, 1)
+    n_seg = len(segments)
+
+    if max_parallel == 1 or n_seg == 1:
+        steps = []
+        prev_state: Optional[tb.PrevState] = None
+        for i, seg in enumerate(segments):
+            step, state_out = prove_segment(
+                suite_id, rom_acc, i, n_seg, seg, full_trace, program,
+                pub_inputs, base_opts, opts.min_security_bits, prev_state)
+            steps.append(step)
+            prev_state = tb.PrevState(state_out)
+        return steps
+
+    with ThreadPoolExecutor(max_workers=max_parallel) as pool:
+        futs = [pool.submit(prove_segment, suite_id, rom_acc, i, n_seg,
+                            seg, full_trace, program, pub_inputs,
+                            base_opts, opts.min_security_bits, None)
+                for i, seg in enumerate(segments)]
+        return [f.result()[0] for f in futs]
+
+
+def prove_segment(suite_id: bytes, rom_acc: Tuple[int, int, int],
+                  segment_index: int, segments_total: int,
+                  seg: tb.Segment, full_trace, program: Program,
+                  pub_inputs: pi_mod.PublicInputs,
+                  base_opts: ProofOptions, min_bits: int,
+                  prev_state: Optional[tb.PrevState]
+                  ) -> Tuple[StepProof, bytes]:
+    lvl_start = seg.r_start // STEPS_PER_LEVEL_P2
+    lvl_end = seg.r_end // STEPS_PER_LEVEL_P2
+    seg_features = planner.compute_segment_features_for_levels(
+        program, lvl_start, lvl_end)
+
+    base_mask = pub_inputs.feature_mask
+    seg_mask = planner.compute_segment_feature_mask(pub_inputs,
+                                                    seg_features)
+    use_seg_mask = seg_mask != 0 and seg_mask != base_mask
+    eff_mask = seg_mask if use_seg_mask else base_mask
+    features = pi_mod.FM_VM  # placeholder to document bit use below
+    fmap_vm = bool(eff_mask & pi_mod.FM_VM)
+    rom_enabled = any(pub_inputs.program_id)
+
+    layout_cfg = LayoutConfig(
+        vm=fmap_vm,
+        ram=bool(eff_mask & pi_mod.FM_RAM),
+        sponge=bool(eff_mask & pi_mod.FM_SPONGE),
+        merkle=bool(eff_mask & pi_mod.FM_MERKLE),
+        rom=rom_enabled)
+    seg_layout = tb.SegmentLayout(Columns.baseline(), layout_cfg)
+
+    trace, state_in_hash, state_out_hash = \
+        tb.build_segment_trace_with_state(full_trace, seg, seg_layout,
+                                          prev_state)
+
+    boundaries = segment_boundaries_from_full(full_trace, seg)
+
+    num_partitions, hash_rate = select_partitions_for_trace(
+        trace.width, trace.length)
+    wf_opts = base_opts.with_partitions(num_partitions, hash_rate)
+
+    air_pi = build_air_pi_for_trace(
+        pub_inputs, eff_mask, rom_acc, seg_layout.cols, boundaries, trace)
+    pi_len = len(air_pi.to_elements())
+    air = ZkLispAir(trace.width, trace.length, air_pi)
+
+    meta = StepMeta.from_env(trace.length, wf_opts, min_bits, pi_len)
+    inner = stark.prove_trace(trace, air, air_pi, wf_opts, _xp())
+
+    boundary = dict(
+        pc_init=f128.fe_to_bytes_fold(boundaries.pc_init),
+        state_in_hash=state_in_hash,
+        state_out_hash=state_out_hash,
+        ram_gp_unsorted_in=f128.fe_to_bytes_fold(
+            boundaries.ram_gp_unsorted_in),
+        ram_gp_unsorted_out=f128.fe_to_bytes_fold(
+            boundaries.ram_gp_unsorted_out),
+        ram_gp_sorted_in=f128.fe_to_bytes_fold(
+            boundaries.ram_gp_sorted_in),
+        ram_gp_sorted_out=f128.fe_to_bytes_fold(
+            boundaries.ram_gp_sorted_out),
+        rom_s_in_0=f128.fe_to_bytes_fold(boundaries.rom_s_in[0]),
+        rom_s_in_1=f128.fe_to_bytes_fold(boundaries.rom_s_in[1]),
+        rom_s_in_2=f128.fe_to_bytes_fold(boundaries.rom_s_in[2]),
+        rom_s_out_0=f128.fe_to_bytes_fold(boundaries.rom_s_out[0]),
+        rom_s_out_1=f128.fe_to_bytes_fold(boundaries.rom_s_out[1]),
+        rom_s_out_2=f128.fe_to_bytes_fold(boundaries.rom_s_out[2]),
+    )
+    zl1 = Zl1Proof.new_multi_segment(
+        suite_id, meta, pub_inputs, segment_index, segments_total,
+        boundary, inner)
+    step = StepProof(zl1, pub_inputs, rom_acc, air_pi.vm_usage_mask,
+                     air_pi.ram_delta_clk_bits)
+    return step, state_out_hash
+
+
+def air_pi_from_step(step: StepProof) -> AirPublicInputs:
+    """Rebuild AirPublicInputs from a StepProof (agg/fs.rs:44-65)."""
+    zp = step.proof.pi
+    return AirPublicInputs(
+        core=step.pi_core,
+        segment_feature_mask=0,
+        rom_acc=tuple(step.rom_acc),
+        pc_init=f128.fe_from_bytes_fold(zp.pc_init),
+        ram_gp_unsorted_in=f128.fe_from_bytes_fold(zp.ram_gp_unsorted_in),
+        ram_gp_unsorted_out=f128.fe_from_bytes_fold(
+            zp.ram_gp_unsorted_out),
+        ram_gp_sorted_in=f128.fe_from_bytes_fold(zp.ram_gp_sorted_in),
+        ram_gp_sorted_out=f128.fe_from_bytes_fold(zp.ram_gp_sorted_out),
+        rom_s_in=(f128.fe_from_bytes_fold(zp.rom_s_in_0),
+                  f128.fe_from_bytes_fold(zp.rom_s_in_1),
+                  f128.fe_from_bytes_fold(zp.rom_s_in_2)),
+        rom_s_out=(f128.fe_from_bytes_fold(zp.rom_s_out_0),
+                   f128.fe_from_bytes_fold(zp.rom_s_out_1),
+                   f128.fe_from_bytes_fold(zp.rom_s_out_2)),
+        vm_usage_mask=step.vm_usage_mask,
+        ram_delta_clk_bits=step.ram_delta_clk_bits,
+    )
+
+
+def verify_step(step: StepProof, min_bits: int = 0) -> None:
+    """Verify a single step proof against its recorded public inputs.
+
+    Note: unlike the trusted-setup-free slow path (verify_proof), this
+    trusts the boundary state recorded in the zl1 container; chain-level
+    checks (verify_chain / aggregation) bind the boundaries together.
+    """
+    eff_mask = _effective_mask_for_step(step)
+    air_pi = air_pi_from_step(step)
+    air_pi.segment_feature_mask = eff_mask
+    stark.verify_trace(step.proof.inner, air_pi, min_bits)
+
+
+def _effective_mask_for_step(step: StepProof) -> int:
+    """Reconstruct the effective feature mask the prover used.
+
+    RAM/Merkle/ROM trims are width-visible (their column blocks are
+    dropped); sponge presence is recovered from the recorded
+    vm_usage_mask (VM_USAGE_SPONGE tracks op_sponge occurrence, the same
+    predicate the planner uses); Poseidon follows sponge|merkle.
+    """
+    from ..trace.layout import VM_USAGE_SPONGE
+    width = step.proof.inner.context.trace_width
+    baseline = Columns.baseline().width()
+    base = step.pi_core.feature_mask
+    if width >= baseline:
+        return base
+    rom_enabled = any(step.pi_core.program_id)
+    found = None
+    for ram in (True, False):
+        for merkle in (True, False):
+            cfg = LayoutConfig(vm=True, ram=ram, sponge=True,
+                               merkle=merkle, rom=rom_enabled)
+            if Columns(cfg).width() == width:
+                found = (ram, merkle)
+                break
+        if found:
+            break
+    if found is None:
+        raise stark.VerifyError("cannot derive segment layout from width")
+    ram, merkle = found
+    sponge = (bool(base & pi_mod.FM_SPONGE)
+              and bool(step.vm_usage_mask & (1 << VM_USAGE_SPONGE)))
+    mask = pi_mod.FM_VM | (base & pi_mod.FM_VM_EXPECT)
+    if ram and (base & pi_mod.FM_RAM):
+        mask |= pi_mod.FM_RAM
+    if sponge:
+        mask |= pi_mod.FM_SPONGE
+    if merkle and (base & pi_mod.FM_MERKLE):
+        mask |= pi_mod.FM_MERKLE
+    if (sponge or (merkle and (base & pi_mod.FM_MERKLE))) \
+            and (base & pi_mod.FM_POSEIDON):
+        mask |= pi_mod.FM_POSEIDON
+    return mask
+
+
+def verify_proof(inner: stark.StarkProof, program: Program,
+                 pi: pi_mod.PublicInputs, min_bits: int = 0) -> None:
+    """Slow-path verification: rebuild the trace to derive boundary PI
+    (prove.rs verify_proof)."""
+    pi.validate_flags()
+    rom_acc = (tb.rom_acc_from_program(program) if any(pi.program_commitment)
+               else (0, 0, 0))
+    trace = tb.build_trace(program, pi)
+    air_pi = build_air_pi_for_trace(pi, pi.feature_mask, rom_acc, None,
+                                    None, trace)
+    stark.verify_trace(inner, air_pi, min_bits)
