@@ -1,0 +1,750 @@
+"""STARK-in-STARK aggregation.
+
+Ports the reference aggregation layer (src/agg/{pi,layout,air,trace}.rs):
+a 31-column aggregation trace with one row per child step proof, whose AIR
+enforces that per-child re-verification aggregates (Merkle-root errors,
+DEEP-vs-FRI-layer-0, FRI folding/remainder over all query paths) and
+cross-segment boundary chains are identically zero, plus v_units / child
+count accumulator chains.
+
+The per-child verification math reuses this framework's own verifier
+primitives (prove/stark.py) — openings are stored directly in the step
+proofs, so no multiproof decompression pass is needed.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from ..air.zk_air import _p_last_lde, p_last_at_point
+from ..core import pi as pi_mod
+from ..crypto import poseidon as pos
+from ..crypto.blake3 import blake3
+from ..field import f128
+from ..field.felt import Felt
+from ..prove import stark
+from ..prove.coin import RandomCoin
+from ..prove.commit import hash_row_host, merkle_root_from_leaf
+from ..prove.formats import StepProof
+from ..prove.params import ProofOptions, ProverOptions
+from ..prove.prover import air_pi_from_step, _effective_mask_for_step
+from ..trace.table import TraceTable
+from ..air.zk_air import ConstraintDegree, ZkLispAir
+
+P = f128.P
+
+MIN_AGG_TRACE_ROWS = 8
+
+
+class AggError(Exception):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# public inputs (agg/pi.rs)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class AggProfileMeta:
+    m: int = 0
+    rho: int = 0
+    q: int = 0
+    o: int = 0
+    lambda_: int = 0
+    pi_len: int = 0
+    v_units: int = 0
+
+
+@dataclass
+class AggFriProfile:
+    lde_blowup: int = 0
+    folding_factor: int = 2
+    redundancy: int = 1
+    num_layers: int = 0
+
+
+@dataclass
+class AggQueryProfile:
+    num_queries: int = 0
+    grinding_factor: int = 0
+
+
+@dataclass
+class AggAirPublicInputs:
+    program_id: bytes = b"\x00" * 32
+    program_commitment: bytes = b"\x00" * 32
+    pi_digest: bytes = b"\x00" * 32
+    children_root: bytes = b"\x00" * 32
+    v_units_total: int = 0
+    children_count: int = 0
+    batch_id: bytes = b"\x00" * 32
+    profile_meta: AggProfileMeta = field(default_factory=AggProfileMeta)
+    profile_fri: AggFriProfile = field(default_factory=AggFriProfile)
+    profile_queries: AggQueryProfile = field(
+        default_factory=AggQueryProfile)
+    suite_id: bytes = b"\x00" * 32
+    children_ms: List[int] = field(default_factory=list)
+    vm_state_initial: bytes = b"\x00" * 32
+    vm_state_final: bytes = b"\x00" * 32
+    ram_gp_unsorted_initial: bytes = b"\x00" * 32
+    ram_gp_unsorted_final: bytes = b"\x00" * 32
+    ram_gp_sorted_initial: bytes = b"\x00" * 32
+    ram_gp_sorted_final: bytes = b"\x00" * 32
+    rom_s_initial: Tuple[bytes, bytes, bytes] = (b"\x00" * 32,) * 3
+    rom_s_final: Tuple[bytes, bytes, bytes] = (b"\x00" * 32,) * 3
+
+    def to_elements(self) -> List[int]:
+        fold = f128.fold_bytes32_to_fe
+        out = [fold(self.program_id), fold(self.program_commitment),
+               fold(self.pi_digest), fold(self.children_root),
+               fold(self.batch_id),
+               self.profile_meta.m, self.profile_meta.rho,
+               self.profile_meta.q, self.profile_meta.o,
+               self.profile_meta.lambda_, self.profile_meta.pi_len,
+               self.profile_meta.v_units,
+               self.profile_fri.lde_blowup,
+               self.profile_fri.folding_factor,
+               self.profile_fri.redundancy, self.profile_fri.num_layers,
+               self.profile_queries.num_queries,
+               self.profile_queries.grinding_factor,
+               self.children_count, self.v_units_total,
+               fold(self.vm_state_initial), fold(self.vm_state_final),
+               fold(self.ram_gp_unsorted_initial),
+               fold(self.ram_gp_unsorted_final),
+               fold(self.ram_gp_sorted_initial),
+               fold(self.ram_gp_sorted_final)]
+        out += [fold(b) for b in self.rom_s_initial]
+        out += [fold(b) for b in self.rom_s_final]
+        return out
+
+
+# ---------------------------------------------------------------------------
+# children root (agg/child.rs children_root_from_compact)
+# ---------------------------------------------------------------------------
+
+def children_root(suite_id: bytes, steps: Sequence[StepProof]) -> bytes:
+    if not steps:
+        return b"\x00" * 32
+    items = []
+    for step in steps:
+        d_fe = f128.fold_bytes32_to_fe(step.digest())
+        t_fe = f128.fold_bytes32_to_fe(step.proof.inner.trace_root)
+        leaf_fe = pos.poseidon_hash_two_lanes(suite_id, d_fe, t_fe)
+        items.append(f128.fe_to_bytes_fold(leaf_fe))
+    items.sort()
+    layer = [f128.fold_bytes32_to_fe(b) for b in items]
+    while len(layer) > 1:
+        nxt = []
+        for i in range(0, len(layer), 2):
+            a = layer[i]
+            b = layer[i + 1] if i + 1 < len(layer) else layer[i]
+            nxt.append(pos.poseidon_hash_two_lanes(suite_id, a, b))
+        layer = nxt
+    return f128.fe_to_bytes_fold(layer[0])
+
+
+# ---------------------------------------------------------------------------
+# aggregation layout + AIR (agg/layout.rs, agg/air.rs)
+# ---------------------------------------------------------------------------
+
+class AggColumns:
+    NAMES = ("ok", "v0_sum", "v1_sum", "vnext_sum", "fri_v0_child",
+             "fri_v1_child", "fri_vnext_child", "fri_alpha_child",
+             "fri_x0_child", "fri_x1_child", "fri_q1_child", "comp_sum",
+             "alpha_div_zm_sum", "map_l0_sum", "final_llast_sum", "r",
+             "alpha", "beta", "gamma", "seg_first", "trace_root_err",
+             "constraint_root_err", "v_units_acc", "v_units_child",
+             "child_count_acc", "vm_chain_err", "ram_u_chain_err",
+             "ram_s_chain_err", "rom_chain_err_0", "rom_chain_err_1",
+             "rom_chain_err_2")
+
+    def __init__(self) -> None:
+        for i, name in enumerate(self.NAMES):
+            setattr(self, name, i)
+
+    def width(self) -> int:
+        return len(self.NAMES)
+
+
+class ZlAggAir:
+    """Aggregation AIR (agg/air.rs): 24 constraints, 5 assertions."""
+
+    def __init__(self, trace_width: int, trace_len: int,
+                 pub_inputs: AggAirPublicInputs) -> None:
+        self.cols = AggColumns()
+        assert trace_width == self.cols.width()
+        self.trace_width = trace_width
+        self.trace_len = trace_len
+        self.pub = pub_inputs
+        self.degrees = ([ConstraintDegree(1)]
+                        + [ConstraintDegree(2, (trace_len,))]
+                        + [ConstraintDegree(1)] * 9
+                        + [ConstraintDegree(1, (trace_len,))]
+                        + [ConstraintDegree(1)] * 12)
+
+    def num_transition_constraints(self) -> int:
+        return 24
+
+    def max_evaluation_degree(self) -> int:
+        return max(d.evaluation_degree(self.trace_len)
+                   for d in self.degrees)
+
+    def ce_blowup(self) -> int:
+        n = self.trace_len
+        dq = self.max_evaluation_degree() - (n - 1)
+        q = max(1, -(-(dq + 1) // n))
+        p2 = 1
+        while p2 < q:
+            p2 *= 2
+        return p2
+
+    def evaluate_transition(self, cur, next_, periodic):
+        c = self.cols
+        is_last = periodic[0]
+        not_last = 1 - is_last
+        out = []
+        out.append(cur[c.ok] + 0 * is_last)
+        out.append(not_last * (next_[c.v_units_acc]
+                               - (cur[c.v_units_acc]
+                                  + cur[c.v_units_child]
+                                  * cur[c.seg_first])))
+        out.append(cur[c.trace_root_err] + 0 * is_last)
+        out.append(cur[c.constraint_root_err] + 0 * is_last)
+        out.append(not_last * (next_[c.r] - cur[c.r]))
+        out.append(not_last * (next_[c.alpha] - cur[c.alpha]))
+        out.append(not_last * (next_[c.beta] - cur[c.beta]))
+        out.append(not_last * (next_[c.gamma] - cur[c.gamma]))
+        out.append(not_last * (next_[c.v0_sum] - cur[c.v0_sum]))
+        out.append(not_last * (next_[c.v1_sum] - cur[c.v1_sum]))
+        out.append(not_last * (next_[c.vnext_sum] - cur[c.vnext_sum]))
+        out.append(not_last * (next_[c.child_count_acc]
+                               - (cur[c.child_count_acc]
+                                  + cur[c.seg_first])))
+        x_diff = cur[c.fri_x1_child] - cur[c.fri_x0_child]
+        lhs = cur[c.fri_vnext_child] * x_diff
+        rhs = (cur[c.fri_v1_child]
+               * (cur[c.fri_alpha_child] - cur[c.fri_x0_child])
+               - cur[c.fri_v0_child]
+               * (cur[c.fri_alpha_child] - cur[c.fri_x1_child]))
+        out.append(lhs - rhs)
+        out.append(cur[c.fri_vnext_child] - cur[c.fri_q1_child])
+        out.append(cur[c.comp_sum] + 0 * is_last)
+        out.append(cur[c.alpha_div_zm_sum] + 0 * is_last)
+        out.append(cur[c.map_l0_sum] + 0 * is_last)
+        out.append(cur[c.final_llast_sum] + 0 * is_last)
+        out.append(cur[c.vm_chain_err] + 0 * is_last)
+        out.append(cur[c.ram_u_chain_err] + 0 * is_last)
+        out.append(cur[c.ram_s_chain_err] + 0 * is_last)
+        out.append(cur[c.rom_chain_err_0] + 0 * is_last)
+        out.append(cur[c.rom_chain_err_1] + 0 * is_last)
+        out.append(cur[c.rom_chain_err_2] + 0 * is_last)
+        return out
+
+    def get_assertions(self):
+        c = self.cols
+        last = self.trace_len - 1
+        return [(c.ok, 0, 0),
+                (c.v_units_acc, 0, 0),
+                (c.v_units_acc, last, self.pub.v_units_total % P),
+                (c.child_count_acc, 0, 0),
+                (c.child_count_acc, last, self.pub.children_count % P)]
+
+    def periodic_lde(self, blowup: int, xp):
+        return [_p_last_lde(self.trace_len, blowup, xp)]
+
+    def periodic_values_at_point(self, z: int):
+        return [Felt(p_last_at_point(self.trace_len, z))]
+
+    def periodic_values_at_row(self, row: int):
+        return [Felt(1 if row == self.trace_len - 1 else 0)]
+
+
+# ---------------------------------------------------------------------------
+# FS weights (agg/trace.rs derive_agg_fs_weights)
+# ---------------------------------------------------------------------------
+
+def derive_agg_fs_weights(agg_pi: AggAirPublicInputs):
+    seed = agg_pi.to_elements() + [0xA9]
+    coin = RandomCoin(seed)
+    return (coin.draw(), coin.draw(), coin.draw(), coin.draw())
+    # (beta_deep, beta_fri_layer1, delta_depth, beta_paths)
+
+
+# ---------------------------------------------------------------------------
+# per-child verification aggregates (agg/trace.rs math)
+# ---------------------------------------------------------------------------
+
+def _child_challenges(step: StepProof) -> dict:
+    air_pi = air_pi_from_step(step)
+    air_pi.segment_feature_mask = _effective_mask_for_step(step)
+    inner = step.proof.inner
+    air = ZkLispAir(inner.context.trace_width, inner.context.trace_len,
+                    air_pi)
+    return stark.replay_challenges(inner, air, air_pi)
+
+
+def _merkle_root_errors(step: StepProof, ch: dict) -> Tuple[int, int]:
+    inner = step.proof.inner
+    opts = inner.context.options
+    w = inner.context.trace_width
+    Q = len(inner.ood_quotient_current)
+    ps_main = opts.partition_size(w)
+    ps_con = opts.partition_size(Q)
+    t_expected = f128.fold_bytes32_to_fe(inner.trace_root)
+    c_expected = f128.fold_bytes32_to_fe(inner.constraint_root)
+    t_err = c_err = 0
+    for k, p_ in enumerate(ch["positions"]):
+        t_leaf = hash_row_host(inner.trace_openings.rows[k], ps_main)
+        t_root = merkle_root_from_leaf(t_leaf, p_,
+                                       inner.trace_openings.paths[k])
+        c_leaf = hash_row_host(inner.constraint_openings.rows[k], ps_con)
+        c_root = merkle_root_from_leaf(c_leaf, p_,
+                                       inner.constraint_openings.paths[k])
+        t_err = (t_err + f128.fold_bytes32_to_fe(t_root)
+                 - t_expected) % P
+        c_err = (c_err + f128.fold_bytes32_to_fe(c_root)
+                 - c_expected) % P
+    return t_err, c_err
+
+
+def _fold_positions(positions: List[int], domain: int) -> List[int]:
+    half = domain // 2
+    out = []
+    for p_ in positions:
+        m = p_ % half
+        if m not in out:
+            out.append(m)
+    return out
+
+
+def _layer_pairs(step: StepProof, depth: int) -> List[Tuple[int, int]]:
+    return step.proof.inner.fri_openings[depth].pairs
+
+
+def _deep_agg(step: StepProof, ch: dict, beta: int) -> int:
+    """DEEP vs FRI layer-0 aggregate (compute_deep_agg_over_queries)."""
+    inner = step.proof.inner
+    if not inner.fri_openings:
+        return 0
+    n = inner.context.trace_len
+    w = inner.context.trace_width
+    N = n * inner.context.options.blowup
+    Qw = len(inner.ood_quotient_current)
+    wN = f128.get_root_of_unity(N)
+    z = ch["z"]
+    zg = f128.mul(z, f128.get_root_of_unity(n))
+    gammas, deltas = ch["gammas"], ch["deltas"]
+
+    gz = sum(g * t for g, t in zip(gammas, inner.ood_trace_current)) % P
+    gz = (gz + sum(d * q for d, q in
+                   zip(deltas, inner.ood_quotient_current))) % P
+    gzg = sum(g * t for g, t in zip(gammas, inner.ood_trace_next)) % P
+    gzg = (gzg + sum(d * q for d, q in
+                     zip(deltas, inner.ood_quotient_next))) % P
+
+    half0 = N // 2
+    folded0 = _fold_positions(ch["positions"], N)
+    pairs0 = _layer_pairs(step, 0)
+    agg = 0
+    beta_pow = 1
+    for k, p_ in enumerate(ch["positions"]):
+        x = f128.mul(pow(wN, p_, P), 3)
+        gt = 0
+        for c in range(w):
+            gt = (gt + gammas[c] * inner.trace_openings.rows[k][c]) % P
+        for j in range(Qw):
+            gt = (gt + deltas[j]
+                  * inner.constraint_openings.rows[k][j]) % P
+        y = ((gt - gz) * f128.inv((x - z) % P)
+             + (gt - gzg) * f128.inv((x - zg) % P)) % P
+        m = p_ % half0
+        elem = p_ // half0
+        q0 = pairs0[folded0.index(m)][elem]
+        agg = (agg + beta_pow * ((y - q0) % P)) % P
+        beta_pow = beta_pow * beta % P
+    return agg
+
+
+def _fri_layer1_agg(step: StepProof, ch: dict, beta: int) -> int:
+    inner = step.proof.inner
+    if len(inner.fri_openings) < 2:
+        return 0
+    N = inner.context.trace_len * inner.context.options.blowup
+    positions = ch["positions"]
+    folded0 = _fold_positions(positions, N)
+    pairs0 = _layer_pairs(step, 0)
+    pairs1 = _layer_pairs(step, 1)
+    domain1 = N // 2
+    folded1 = _fold_positions(folded0, domain1)
+    half1 = domain1 // 2
+    wN = f128.get_root_of_unity(N)
+    alpha0 = ch["fri_alphas"][0]
+    folding_root = pow(wN, N // 2, P)
+
+    agg = 0
+    beta_pow = 1
+    for i, m in enumerate(folded0):
+        v0, v1 = pairs0[i]
+        xe = f128.mul(pow(wN, m, P), 3)
+        x0, x1 = xe, f128.mul(xe, folding_root)
+        num = (v1 * ((alpha0 - x0) % P) - v0 * ((alpha0 - x1) % P)) % P
+        vnext = num * f128.inv((x1 - x0) % P) % P
+        mm = m % half1
+        elem = m // half1
+        q1 = pairs1[folded1.index(mm)][elem]
+        agg = (agg + beta_pow * ((vnext - q1) % P)) % P
+        beta_pow = beta_pow * beta % P
+    return agg
+
+
+def _fri_path_agg(step: StepProof, ch: dict, delta: int,
+                  sample_idx: int) -> int:
+    """compute_fri_path_agg_over_layers: fold one query path through all
+    layers, accumulating fold mismatches and the remainder error."""
+    inner = step.proof.inner
+    num_layers = len(inner.fri_openings)
+    if num_layers < 2:
+        return 0
+    N = inner.context.trace_len * inner.context.options.blowup
+    wN = f128.get_root_of_unity(N)
+    folding_root = pow(wN, N // 2, P)
+
+    positions_d = list(ch["positions"])
+    domain_d = N
+    gen_d = wN
+    agg = 0
+    delta_pow = 1
+    v_rem = 0
+    pos_rem = 0
+    for depth in range(num_layers):
+        half = domain_d // 2
+        folded = _fold_positions(positions_d, domain_d)
+        pairs = _layer_pairs(step, depth)
+        if sample_idx >= len(folded):
+            raise AggError("sample index out of bounds for FRI layer")
+        m = folded[sample_idx]
+        v0, v1 = pairs[sample_idx]
+        alpha = ch["fri_alphas"][depth]
+        xe = f128.mul(pow(gen_d, m, P), 3)
+        x0, x1 = xe, f128.mul(xe, folding_root)
+        num = (v1 * ((alpha - x0) % P) - v0 * ((alpha - x1) % P)) % P
+        vnext = num * f128.inv((x1 - x0) % P) % P
+        domain_next = domain_d // 2
+        positions_next = folded
+        if depth + 1 < num_layers:
+            folded_next = _fold_positions(positions_next, domain_next)
+            next_pairs = _layer_pairs(step, depth + 1)
+            half_next = domain_next // 2
+            mm = m % half_next
+            elem = m // half_next
+            q_next = next_pairs[folded_next.index(mm)][elem]
+            agg = (agg + delta_pow * ((vnext - q_next) % P)) % P
+            delta_pow = delta_pow * delta % P
+        else:
+            v_rem = vnext
+            pos_rem = m
+        gen_d = pow(gen_d, 2, P)
+        domain_d = domain_next
+        positions_d = positions_next
+
+    x_l = f128.mul(3, pow(gen_d, pos_rem, P))
+    acc = 0
+    for coeff in inner.fri_remainder:
+        acc = (acc * x_l + coeff) % P
+    agg = (agg + delta_pow * ((v_rem - acc) % P)) % P
+    return agg
+
+
+def _fri_paths_agg(step: StepProof, ch: dict, delta: int,
+                   beta: int) -> int:
+    inner = step.proof.inner
+    if len(inner.fri_openings) < 2:
+        return 0
+    min_paths = min((len(l.pairs) for l in inner.fri_openings
+                     if l.pairs), default=0)
+    agg = 0
+    beta_pow = 1
+    for k in range(min_paths):
+        err = _fri_path_agg(step, ch, delta, k)
+        agg = (agg + beta_pow * err) % P
+        beta_pow = beta_pow * beta % P
+    return agg
+
+
+def _sample_fri_fold(step: StepProof, ch: dict):
+    """sample_fri_fold_child: one binary fold witness (v0,v1,vnext,alpha,
+    x0,x1,q1)."""
+    inner = step.proof.inner
+    if len(inner.fri_openings) < 2:
+        return (0,) * 7
+    N = inner.context.trace_len * inner.context.options.blowup
+    wN = f128.get_root_of_unity(N)
+    folding_root = pow(wN, N // 2, P)
+    folded0 = _fold_positions(ch["positions"], N)
+    pairs0 = _layer_pairs(step, 0)
+    m = folded0[0]
+    v0, v1 = pairs0[0]
+    alpha = ch["fri_alphas"][0]
+    xe = f128.mul(pow(wN, m, P), 3)
+    x0, x1 = xe, f128.mul(xe, folding_root)
+    num = (v1 * ((alpha - x0) % P) - v0 * ((alpha - x1) % P)) % P
+    vnext = num * f128.inv((x1 - x0) % P) % P
+    domain1 = N // 2
+    half1 = domain1 // 2
+    folded1 = _fold_positions(folded0, domain1)
+    mm = m % half1
+    elem = m // half1
+    q1 = _layer_pairs(step, 1)[folded1.index(mm)][elem]
+    return v0, v1, vnext, alpha, x0, x1, q1
+
+
+# ---------------------------------------------------------------------------
+# aggregation public inputs + trace builder
+# ---------------------------------------------------------------------------
+
+def build_agg_public(steps: Sequence[StepProof],
+                     batch_id: bytes = b"\x00" * 32) -> AggAirPublicInputs:
+    if not steps:
+        raise AggError("aggregation requires at least one step proof")
+    first, last = steps[0], steps[-1]
+    meta0 = first.proof.meta
+    suite_id = first.proof.header.suite_id
+    return AggAirPublicInputs(
+        program_id=first.pi_core.program_id,
+        program_commitment=first.pi_core.program_commitment,
+        pi_digest=first.pi_core.digest(),
+        children_root=children_root(suite_id, steps),
+        v_units_total=sum(s.proof.meta.v_units for s in steps),
+        children_count=len(steps),
+        batch_id=batch_id,
+        profile_meta=AggProfileMeta(
+            m=meta0.m, rho=meta0.rho, q=meta0.q, o=meta0.o,
+            lambda_=meta0.lambda_, pi_len=meta0.pi_len,
+            v_units=meta0.v_units),
+        profile_fri=AggFriProfile(
+            lde_blowup=meta0.rho, folding_factor=2, redundancy=1,
+            num_layers=len(first.proof.inner.fri_openings)),
+        profile_queries=AggQueryProfile(
+            num_queries=meta0.q, grinding_factor=0),
+        suite_id=suite_id,
+        children_ms=[s.proof.meta.m for s in steps],
+        vm_state_initial=first.proof.pi.state_in_hash,
+        vm_state_final=last.proof.pi.state_out_hash,
+        ram_gp_unsorted_initial=first.proof.pi.ram_gp_unsorted_in,
+        ram_gp_unsorted_final=last.proof.pi.ram_gp_unsorted_out,
+        ram_gp_sorted_initial=first.proof.pi.ram_gp_sorted_in,
+        ram_gp_sorted_final=last.proof.pi.ram_gp_sorted_out,
+        rom_s_initial=(first.proof.pi.rom_s_in_0,
+                       first.proof.pi.rom_s_in_1,
+                       first.proof.pi.rom_s_in_2),
+        rom_s_final=(last.proof.pi.rom_s_out_0,
+                     last.proof.pi.rom_s_out_1,
+                     last.proof.pi.rom_s_out_2),
+    )
+
+
+def build_agg_trace(agg_pi: AggAirPublicInputs,
+                    steps: Sequence[StepProof]) -> TraceTable:
+    if not steps:
+        raise AggError("AggTrace requires at least one child proof")
+    cols = AggColumns()
+    n_children = len(steps)
+    if agg_pi.children_count != n_children:
+        raise AggError("children_count mismatch")
+    if len(agg_pi.children_ms) != n_children:
+        raise AggError("children_ms length mismatch")
+    for s in steps:
+        if s.proof.header.suite_id != agg_pi.suite_id:
+            raise AggError("suite_id mismatch across children")
+        if s.proof.pi.segments_total == 0 or \
+                s.proof.pi.segment_index >= s.proof.pi.segments_total:
+            raise AggError("invalid segment indexing")
+    totals = {s.proof.pi.segments_total for s in steps}
+    if len(totals) != 1:
+        raise AggError("segments_total must be uniform")
+    t = totals.pop()
+    if t > 1:
+        idxs = sorted(s.proof.pi.segment_index for s in steps)
+        if t != n_children or idxs != list(range(n_children)):
+            raise AggError("segment chain must be complete and contiguous")
+    pm, pq = agg_pi.profile_meta, agg_pi.profile_queries
+    for s in steps:
+        m = s.proof.meta
+        if (m.rho != pm.rho or m.o != pm.o or m.lambda_ != pm.lambda_
+                or m.pi_len != pm.pi_len):
+            raise AggError("profile_meta mismatch with child meta")
+        if m.q != pq.num_queries:
+            raise AggError("profile_queries mismatch with child meta")
+    if children_root(agg_pi.suite_id, steps) != agg_pi.children_root:
+        raise AggError("children_root mismatch")
+    v_sum = 0
+    for i, s in enumerate(steps):
+        if agg_pi.children_ms[i] == 0 or \
+                agg_pi.children_ms[i] != s.proof.meta.m:
+            raise AggError("children_ms mismatch")
+        v_sum += s.proof.meta.v_units
+    if v_sum != agg_pi.v_units_total:
+        raise AggError("v_units_total mismatch")
+
+    base_rows = max(n_children, MIN_AGG_TRACE_ROWS)
+    n_rows = 1 << (base_rows - 1).bit_length()
+    trace = TraceTable(cols.width(), n_rows)
+
+    beta_deep, beta_l1, delta_depth, beta_paths = \
+        derive_agg_fs_weights(agg_pi)
+
+    fold = f128.fold_bytes32_to_fe
+    vm_i, vm_f = fold(agg_pi.vm_state_initial), fold(agg_pi.vm_state_final)
+    ru_i, ru_f = (fold(agg_pi.ram_gp_unsorted_initial),
+                  fold(agg_pi.ram_gp_unsorted_final))
+    rs_i, rs_f = (fold(agg_pi.ram_gp_sorted_initial),
+                  fold(agg_pi.ram_gp_sorted_final))
+    rom_i = [fold(b) for b in agg_pi.rom_s_initial]
+    rom_f = [fold(b) for b in agg_pi.rom_s_final]
+
+    prev = None
+    v_acc = 0
+    count_acc = 0
+    for i, s in enumerate(steps):
+        zp = s.proof.pi
+        vm_in, vm_out = fold(zp.state_in_hash), fold(zp.state_out_hash)
+        ru_in, ru_out = (fold(zp.ram_gp_unsorted_in),
+                         fold(zp.ram_gp_unsorted_out))
+        rs_in, rs_out = (fold(zp.ram_gp_sorted_in),
+                         fold(zp.ram_gp_sorted_out))
+        rom_in = [fold(zp.rom_s_in_0), fold(zp.rom_s_in_1),
+                  fold(zp.rom_s_in_2)]
+        rom_out = [fold(zp.rom_s_out_0), fold(zp.rom_s_out_1),
+                   fold(zp.rom_s_out_2)]
+
+        first_c, last_c = i == 0, i + 1 == n_children
+        if first_c or prev is None:
+            vm_err = (vm_in - vm_i) % P
+            ru_err = (ru_in - ru_i) % P
+            rs_err = (rs_in - rs_i) % P
+            rom_err0 = (rom_in[0] - rom_i[0]) % P
+        else:
+            vm_err = (vm_in - prev["vm"]) % P
+            ru_err = (ru_in - prev["ru"]) % P
+            rs_err = (rs_in - prev["rs"]) % P
+            rom_err0 = (rom_in[0] - prev["rom"][0]) % P
+        if last_c:
+            vm_err = (vm_err + vm_out - vm_f) % P
+            ru_err = (ru_err + ru_out - ru_f) % P
+            rs_err = (rs_err + rs_out - rs_f) % P
+            rom_err0 = (rom_err0 + rom_out[0] - rom_f[0]) % P
+
+        ch = _child_challenges(s)
+        t_err, c_err = _merkle_root_errors(s, ch)
+        deep_agg = _deep_agg(s, ch, beta_deep)
+        l1_agg = _fri_layer1_agg(s, ch, beta_l1)
+        path_agg = _fri_path_agg(s, ch, delta_depth, 0) \
+            if len(s.proof.inner.fri_openings) >= 2 else 0
+        paths_agg = _fri_paths_agg(s, ch, delta_depth, beta_paths)
+        v0, v1, vnext, alpha_s, x0, x1, q1 = _sample_fri_fold(s, ch)
+
+        r_ = i
+        trace.set(cols.seg_first, r_, 1)
+        trace.set(cols.v_units_child, r_, s.proof.meta.v_units % P)
+        trace.set(cols.v_units_acc, r_, v_acc)
+        trace.set(cols.child_count_acc, r_, count_acc)
+        trace.set(cols.trace_root_err, r_, t_err)
+        trace.set(cols.constraint_root_err, r_, c_err)
+        trace.set(cols.vm_chain_err, r_, vm_err)
+        trace.set(cols.ram_u_chain_err, r_, ru_err)
+        trace.set(cols.ram_s_chain_err, r_, rs_err)
+        trace.set(cols.rom_chain_err_0, r_, rom_err0)
+        trace.set(cols.fri_v0_child, r_, v0)
+        trace.set(cols.fri_v1_child, r_, v1)
+        trace.set(cols.fri_vnext_child, r_, vnext)
+        trace.set(cols.fri_alpha_child, r_, alpha_s)
+        trace.set(cols.fri_x0_child, r_, x0)
+        trace.set(cols.fri_x1_child, r_, x1)
+        trace.set(cols.fri_q1_child, r_, q1)
+        trace.set(cols.comp_sum, r_, deep_agg)
+        trace.set(cols.alpha_div_zm_sum, r_, l1_agg)
+        trace.set(cols.map_l0_sum, r_, path_agg)
+        trace.set(cols.final_llast_sum, r_, paths_agg)
+
+        v_acc = (v_acc + s.proof.meta.v_units) % P
+        count_acc = (count_acc + 1) % P
+        prev = {"vm": vm_out, "ru": ru_out, "rs": rs_out, "rom": rom_out}
+
+    for r_ in range(n_children, n_rows):
+        trace.set(cols.v_units_acc, r_, v_acc)
+        trace.set(cols.child_count_acc, r_, count_acc)
+    return trace
+
+
+# ---------------------------------------------------------------------------
+# aggregation prove/verify + recursion glue (src/lib.rs, prove.rs)
+# ---------------------------------------------------------------------------
+
+def prove_agg(agg_pi: AggAirPublicInputs, steps: Sequence[StepProof],
+              opts: ProverOptions, xp=None):
+    """prove_agg_proof (prove.rs:629-719)."""
+    import numpy as np
+    from ..prove.params import (estimate_conjectured_security_bits,
+                                select_partitions_for_trace)
+    trace = build_agg_trace(agg_pi, steps)
+    agg_queries = max(opts.queries, 16)
+    field_ext = 2 if opts.min_security_bits >= 128 else 1
+    base = ProofOptions(num_queries=agg_queries, blowup=opts.blowup,
+                        grinding_factor=opts.grind,
+                        field_extension=field_ext)
+    if opts.min_security_bits >= 64:
+        if estimate_conjectured_security_bits(base) < opts.min_security_bits:
+            raise AggError(
+                "aggregation prover options below requested security")
+    nparts, rate = select_partitions_for_trace(trace.width, trace.length)
+    wf_opts = base.with_partitions(nparts, rate)
+    air = ZlAggAir(trace.width, trace.length, agg_pi)
+    return stark.prove_trace(trace, air, agg_pi, wf_opts, xp or np)
+
+
+def verify_agg(proof, agg_pi: AggAirPublicInputs,
+               min_bits: int = 0) -> None:
+    air = ZlAggAir(proof.context.trace_width, proof.context.trace_len,
+                   agg_pi)
+    stark.verify_trace(proof, agg_pi, min_bits, air=air)
+
+
+def recursion_digest(agg_pi: AggAirPublicInputs) -> bytes:
+    """prove.rs recursion_digest_from_agg_pi."""
+    h = bytearray(b"zkl/recursion/agg")
+    h += agg_pi.suite_id
+    h += agg_pi.batch_id
+    h += agg_pi.children_root
+    h += struct.pack("<I", agg_pi.children_count)
+    h += struct.pack("<Q", agg_pi.v_units_total)
+    pm = agg_pi.profile_meta
+    h += struct.pack("<IHHHHIQ", pm.m, pm.rho, pm.q, pm.o, pm.lambda_,
+                     pm.pi_len, pm.v_units)
+    pf = agg_pi.profile_fri
+    h += struct.pack("<IBBB", pf.lde_blowup, pf.folding_factor,
+                     pf.redundancy, pf.num_layers)
+    pq = agg_pi.profile_queries
+    h += struct.pack("<HI", pq.num_queries, pq.grinding_factor)
+    return blake3(bytes(h))
+
+
+def recursion_prove(steps: Sequence[StepProof],
+                    agg_pi: AggAirPublicInputs,
+                    opts: ProverOptions):
+    """RecursionBackend::prove: verify children, then prove aggregation."""
+    from ..prove.prover import verify_step
+    for s in steps:
+        verify_step(s)
+    proof = prove_agg(agg_pi, steps, opts)
+    return proof, recursion_digest(agg_pi)
+
+
+def prove_chain(program, pub_inputs, opts: ProverOptions):
+    """recursion.rs prove_chain: steps -> public -> agg proof."""
+    from ..prove.prover import prove_program
+    steps = prove_program(program, pub_inputs, opts)
+    agg_pi = build_agg_public(steps)
+    proof, digest = recursion_prove(steps, agg_pi, opts)
+    return proof, digest, agg_pi

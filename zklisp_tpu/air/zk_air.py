@@ -35,6 +35,32 @@ P = f128.P
 N_PERIODIC = 1 + POSEIDON_ROUNDS + 1 + 1 + 1 + 1  # map, rounds, final, pad, pad_last, last
 
 
+def _p_last_lde(n: int, blowup: int, xp):
+    """Lagrange basis at g^(n-1) evaluated over the LDE coset (FVec)."""
+    from ..field import limb, ntt
+    from ..field.felt import FVec
+    g = f128.get_root_of_unity(n)
+    n_inv = f128.inv(n)
+    coeffs = []
+    cur = n_inv
+    for _ in range(n):
+        coeffs.append(cur)
+        cur = f128.mul(cur, g)
+    evals = ntt.coset_evaluate(xp.asarray(limb.from_ints(coeffs)), blowup,
+                               xp)
+    return FVec(evals, xp)
+
+
+def p_last_at_point(n: int, z: int) -> int:
+    g = f128.get_root_of_unity(n)
+    gl = pow(g, n - 1, P)
+    if z == gl:
+        return 1
+    num = (pow(z, n, P) - 1) % P
+    den = (n * (z - gl)) % P
+    return num * gl % P * f128.inv(den) % P
+
+
 @dataclass
 class AirPublicInputs:
     """src/lib.rs AirPublicInputs."""
@@ -867,6 +893,50 @@ class ZkLispAir:
         vals = [Felt(col[pos_]) for col in pat]
         vals.append(Felt(1 if row == self.trace_len - 1 else 0))
         return vals
+
+    def periodic_lde(self, blowup: int, xp):
+        """All periodic columns evaluated over the LDE domain (FVecs)."""
+        from ..field import limb, ntt
+        from ..field.felt import FVec
+        n = self.trace_len
+        N = n * blowup
+        cycle = STEPS_PER_LEVEL_P2
+        pat = self.periodic_pattern()
+
+        period = cycle * blowup
+        g32 = f128.get_root_of_unity(cycle)
+        wN = f128.get_root_of_unity(N)
+        wy = pow(wN, n // cycle, P)
+
+        ys = []
+        cur = pow(ntt.DEFAULT_COSET_OFFSET, n // cycle, P)
+        for _ in range(period):
+            ys.append(cur)
+            cur = f128.mul(cur, wy)
+
+        out = []
+        ypow32 = [pow(y, cycle, P) for y in ys]
+        inv_cache = {}
+        for col in pat:
+            vals = []
+            for idx, y in enumerate(ys):
+                acc = 0
+                for p_pos in range(cycle):
+                    if col[p_pos]:
+                        gp = pow(g32, p_pos, P)
+                        if y == gp:
+                            acc = (acc + 1) % P
+                        else:
+                            den = (cycle * (y - gp)) % P
+                            if den not in inv_cache:
+                                inv_cache[den] = f128.inv(den)
+                            acc = (acc + (ypow32[idx] - 1) * gp
+                                   % P * inv_cache[den]) % P
+                vals.append(acc)
+            out.append(FVec.from_ints(vals * (N // period), xp))
+
+        out.append(_p_last_lde(n, blowup, xp))
+        return out
 
     def periodic_values_at_point(self, z: int) -> List[Felt]:
         """Periodic polynomials evaluated at an OOD point z.

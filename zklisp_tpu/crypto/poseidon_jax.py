@@ -45,11 +45,28 @@ def _rom_arrays(suite_id: bytes):
 
 
 def permute12_batch(states, suite_id: bytes, xp, rounds: int | None = None):
-    """states: (..., 12, 8) -> (..., 12, 8) after full Poseidon2."""
+    """states: (..., 12, 8) -> (..., 12, 8) after full Poseidon2.
+
+    On the JAX backend the 27 rounds run under lax.scan so the traced
+    graph contains a single round body (keeps jit compile time flat).
+    """
     rounds = rounds if rounds is not None else pos.POSEIDON_ROUNDS
     mds, rc, _ = _suite_arrays(bytes(suite_id), rounds)
     mds = xp.asarray(mds)
     rc = xp.asarray(rc)
+
+    if xp is not _np:
+        import jax
+
+        def body(s, rc_r):
+            s2 = limb.mul(s, s, xp)
+            s3 = limb.mul(s2, s, xp)
+            y = limb.dot(mds, s3[..., None, :, :], xp)
+            return limb.add(y, xp.broadcast_to(rc_r, y.shape), xp), None
+
+        s, _ = jax.lax.scan(body, states, rc)
+        return s
+
     s = states
     for r in range(rounds):
         s2 = limb.mul(s, s, xp)
@@ -111,16 +128,32 @@ def sponge_fes(chunk_fes, domain: bytes, xp, rounds: int | None = None):
     stream = xp.concatenate(
         [xp.broadcast_to(dfe[None], (B, 1, limb.NLIMB)), chunk_fes], axis=1)
 
-    offset = 0
-    while offset < total:
-        k = min(10, total - offset)
-        group = stream[:, offset:offset + k]
-        lanes = limb.add(state[:, :k], group, xp)
-        state = xp.concatenate([lanes, state[:, k:]], axis=1)
-        offset += k
-        if k == 10:
+    n_full = total // 10
+    rem = total % 10
+
+    if xp is not _np and n_full > 1:
+        import jax
+        groups = xp.transpose(
+            stream[:, :n_full * 10].reshape(B, n_full, 10, limb.NLIMB),
+            (1, 0, 2, 3))                        # (n_full, B, 10, 8)
+
+        def body(s, grp):
+            lanes = limb.add(s[:, :10], grp, xp)
+            s = xp.concatenate([lanes, s[:, 10:]], axis=1)
+            return permute12_batch(s, pos.HASHER_SUITE_ID, xp, rounds), None
+
+        state, _ = jax.lax.scan(body, state, groups)
+    else:
+        for gi in range(n_full):
+            group = stream[:, gi * 10:(gi + 1) * 10]
+            lanes = limb.add(state[:, :10], group, xp)
+            state = xp.concatenate([lanes, state[:, 10:]], axis=1)
             state = permute12_batch(state, pos.HASHER_SUITE_ID, xp, rounds)
-    if total % 10 != 0:
+
+    if rem:
+        tail = stream[:, n_full * 10:]
+        lanes = limb.add(state[:, :rem], tail, xp)
+        state = xp.concatenate([lanes, state[:, rem:]], axis=1)
         state = permute12_batch(state, pos.HASHER_SUITE_ID, xp, rounds)
     return state[:, 0]
 

@@ -154,6 +154,10 @@ def _cond_sub_p(limbs, xp):
 
 
 def add(a, b, xp):
+    if xp is _np:
+        a, b = _np.broadcast_arrays(a, b)
+        cols = a.astype(_np.uint64) + b
+        return _reduce_cols_u64(cols)
     al, bl = _split(a, xp), _split(b, xp)
     cols = [x + y for x, y in zip(al, bl)]
     limbs, carry = _carry_propagate(cols, xp)
@@ -181,22 +185,84 @@ def sub(a, b, xp):
     return add(a, neg(b, xp), xp)
 
 
+def _mul_numpy_u64(a, b):
+    """Host fast path: uint64 accumulators (8 vector ops instead of 64).
+
+    Only valid off-device — the TPU path must stay uint32 (limb products
+    are exact in u32; column sums here need u64 headroom).
+    """
+    A = a.astype(_np.uint64)
+    B = b.astype(_np.uint64)
+    shape = A.shape[:-1]
+    cols = _np.zeros(shape + (16,), dtype=_np.uint64)
+    for i in range(NLIMB):
+        cols[..., i:i + NLIMB] += A[..., i:i + 1] * B
+    return _reduce_cols_u64(cols)
+
+
+def _reduce_cols_u64(cols):
+    """Carry-propagate u64 columns (< 2^48) into 16-bit limbs + reduce."""
+    out = []
+    carry = _np.zeros(cols.shape[:-1], dtype=_np.uint64)
+    for k in range(cols.shape[-1]):
+        s = cols[..., k] + carry
+        out.append((s & LIMB_MASK).astype(_np.uint32))
+        carry = s >> 16
+    # residual carry can exceed 16 bits; split into two limbs
+    out.append((carry & LIMB_MASK).astype(_np.uint32))
+    out.append((carry >> 16).astype(_np.uint32))
+    return _reduce_wide(out, _np)
+
+
+def _dot_numpy_u64(a, b):
+    J = a.shape[-2]
+    A = _np.asarray(a, dtype=_np.uint64)
+    B = _np.asarray(b, dtype=_np.uint64)
+    A, B = _np.broadcast_arrays(A, B)
+    shape = A.shape[:-2]
+    cols = _np.zeros(shape + (16,), dtype=_np.uint64)
+    # u64 bound: J * 8 * (2^32) -> J <= 2^29; sum over J inside einsum
+    for i in range(NLIMB):
+        cols[..., i:i + NLIMB] += _np.einsum(
+            "...j,...jk->...k", A[..., i], B)
+    return _reduce_cols_u64(cols)
+
+
+def _antidiag_cols(mat, offset, xp):
+    """(..., 8, 8) -> list of 16 columns: col[k] += mat[..., i, k-i-offset].
+
+    Implemented with 8 pads + adds (device-friendly: no scatter)."""
+    ncols = 2 * NLIMB
+    acc = None
+    for i in range(NLIMB):
+        row = mat[..., i, :]                       # (..., 8)
+        pad_widths = [(0, 0)] * (row.ndim - 1) + [
+            (i + offset, ncols - NLIMB - i - offset)]
+        padded = xp.pad(row, pad_widths)
+        acc = padded if acc is None else acc + padded
+    return [acc[..., k] for k in range(ncols)]
+
+
+def _mul_xla(a, b, xp):
+    """JAX/XLA path: one outer product + anti-diagonal folds (compact
+    graph, pure uint32)."""
+    outer = a[..., :, None] * b[..., None, :]      # (..., 8, 8) exact u32
+    lo = outer & LIMB_MASK
+    hi = outer >> 16
+    cols_lo = _antidiag_cols(lo, 0, xp)
+    cols_hi = _antidiag_cols(hi, 1, xp)
+    cols = [l + h for l, h in zip(cols_lo, cols_hi)]
+    limbs, carry = _carry_propagate(cols, xp)
+    return _reduce_wide(limbs + [carry], xp)
+
+
 def mul(a, b, xp):
     """Full 128x128 -> 256-bit schoolbook product + fold reduction."""
-    al, bl = _split(a, xp), _split(b, xp)
-
-    # 256-bit product columns, split into lo/hi halves to stay in 32 bits
-    lo_cols = [xp.zeros_like(al[0]) for _ in range(2 * NLIMB)]
-    hi_cols = [xp.zeros_like(al[0]) for _ in range(2 * NLIMB)]
-    for i in range(NLIMB):
-        for j in range(NLIMB):
-            prod = al[i] * bl[j]          # < 2^32, exact in uint32
-            lo_cols[i + j] = lo_cols[i + j] + (prod & LIMB_MASK)
-            hi_cols[i + j + 1] = hi_cols[i + j + 1] + (prod >> 16)
-    cols = [l + h for l, h in zip(lo_cols, hi_cols)]
-    limbs, carry = _carry_propagate(cols, xp)  # 16 limbs; carry == 0
-
-    return _reduce_wide(limbs, xp)
+    if xp is _np:
+        a, b = _np.broadcast_arrays(a, b)
+        return _mul_numpy_u64(a, b)
+    a, b = xp.broadcast_arrays(a, b)
+    return _mul_xla(a, b, xp)
 
 
 def _mul_by_c(limbs, xp):
@@ -212,12 +278,51 @@ def _mul_by_c(limbs, xp):
     return [l + h for l, h in zip(lo_cols, hi_cols)]
 
 
+def _reduce_wide_numpy(wide_limbs):
+    """Host fast path for _reduce_wide using u64 column folds."""
+    limbs = [l.astype(_np.uint64) for l in wide_limbs]
+    shape = limbs[0].shape
+    while len(limbs) > NLIMB:
+        lo = limbs[:NLIMB]
+        hi = limbs[NLIMB:]
+        cols = _np.zeros(shape + (len(hi) + 3,), dtype=_np.uint64)
+        H = _np.stack(hi, axis=-1)
+        for t, cv in enumerate(C_LIMBS):
+            cols[..., t:t + len(hi)] += H * _np.uint64(cv)
+        for i in range(min(NLIMB, cols.shape[-1])):
+            cols[..., i] += lo[i]
+        # lo tail beyond cols width (when len(hi)+3 < 8) — widen
+        if cols.shape[-1] < NLIMB:
+            extra = _np.zeros(shape + (NLIMB - cols.shape[-1],),
+                              dtype=_np.uint64)
+            cols = _np.concatenate([cols, extra], axis=-1)
+            for i in range(NLIMB):
+                if i >= len(hi) + 3:
+                    cols[..., i] += lo[i]
+        limbs = []
+        carry = _np.zeros(shape, dtype=_np.uint64)
+        for k in range(cols.shape[-1]):
+            s = cols[..., k] + carry
+            limbs.append(s & LIMB_MASK)
+            carry = s >> 16
+        limbs.append(carry & LIMB_MASK)
+        limbs.append(carry >> 16)
+        # trim top zero limbs to guarantee progress
+        while len(limbs) > NLIMB and not limbs[-1].any():
+            limbs.pop()
+    limbs = [l.astype(_np.uint32) for l in limbs]
+    limbs = _cond_sub_p(limbs, _np)
+    return _join(limbs, _np)
+
+
 def _reduce_wide(wide_limbs, xp):
     """Reduce a wide value (list of 16-bit limbs, any length) mod p.
 
     Repeatedly folds hi * C + lo using 2^128 ≡ C (mod p) until the value
     fits in 128 bits, then one conditional subtract of p.
     """
+    if xp is _np:
+        return _reduce_wide_numpy(wide_limbs)
     limbs = list(wide_limbs)
     while len(limbs) > NLIMB + 1:
         lo = limbs[:NLIMB]
@@ -267,21 +372,16 @@ def dot(a, b, xp):
     < 2^16, so J <= 64 keeps every accumulator below 2^25 << 2^32.
     """
     J = a.shape[-2]
-    assert J <= 64, "dot: accumulate bound exceeded; split the sum"
-    al = [a[..., i] for i in range(NLIMB)]   # each (..., J)
-    bl = [b[..., i] for i in range(NLIMB)]
-    shape_out = a.shape[:-2]
-    zero = xp.zeros(shape_out, dtype=xp.uint32)
-    lo_cols = [zero for _ in range(2 * NLIMB)]
-    hi_cols = [zero for _ in range(2 * NLIMB)]
-    for i in range(NLIMB):
-        for j in range(NLIMB):
-            prod = al[i] * bl[j]             # (..., J) uint32, exact
-            lo_cols[i + j] = lo_cols[i + j] + xp.sum(
-                prod & LIMB_MASK, axis=-1, dtype=xp.uint32)
-            hi_cols[i + j + 1] = hi_cols[i + j + 1] + xp.sum(
-                prod >> 16, axis=-1, dtype=xp.uint32)
-    cols = [l + h for l, h in zip(lo_cols, hi_cols)]
+    if xp is _np:
+        return _dot_numpy_u64(a, b)
+    assert J <= 2048, "dot: accumulate bound exceeded; split the sum"
+    a, b = xp.broadcast_arrays(a, b)
+    outer = a[..., :, None] * b[..., None, :]      # (..., J, 8, 8) u32
+    lo = xp.sum(outer & LIMB_MASK, axis=-3, dtype=xp.uint32)
+    hi = xp.sum(outer >> 16, axis=-3, dtype=xp.uint32)
+    cols_lo = _antidiag_cols(lo, 0, xp)
+    cols_hi = _antidiag_cols(hi, 1, xp)
+    cols = [l + h for l, h in zip(cols_lo, cols_hi)]
     limbs, carry = _carry_propagate(cols, xp)
     return _reduce_wide(limbs + [carry], xp)
 

@@ -1,0 +1,75 @@
+"""Jit-compiled device kernels for the proving hot path.
+
+These are the TPU entry points used by bench.py and __graft_entry__.py:
+column-batched trace LDE (iNTT + coset NTT under vmap) and Merkle
+commitment (batched Poseidon row hashing + tree build), each traced once
+and cached per shape.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import numpy as _np
+
+from ..crypto import poseidon_jax as pj
+from ..field import f128, limb, ntt
+
+
+def _jnp():
+    import jax.numpy as jnp
+    return jnp
+
+
+@lru_cache(maxsize=None)
+def lde_columns_fn(n: int, blowup: int):
+    """jitted (C, n, 8) trace columns -> (C, N, 8) LDE evaluations."""
+    import jax
+    jnp = _jnp()
+    N = n * blowup
+    pows_f = _np.asarray(ntt.powers_table(N.bit_length() - 1, _np))
+    pows_i = _np.asarray(ntt.powers_table(n.bit_length() - 1, _np,
+                                          inverse=True))
+
+    def one_col(col):
+        poly = ntt.intt(col, jnp, pows_inv=jnp.asarray(pows_i))
+        return ntt.coset_evaluate(poly, blowup, jnp,
+                                  pows=jnp.asarray(pows_f))
+
+    return jax.jit(jax.vmap(one_col))
+
+
+@lru_cache(maxsize=None)
+def leaf_hash_fn(width: int, partition_size: int):
+    """jitted (B, width, 8) rows -> (B, 8) Poseidon leaf digests."""
+    import jax
+    jnp = _jnp()
+    return jax.jit(partial(pj.hash_rows_partitioned,
+                           partition_size=partition_size, xp=jnp))
+
+
+@lru_cache(maxsize=None)
+def merkle_levels_fn(n_leaves: int):
+    """jitted (n_leaves, 8) digests -> tuple of tree levels."""
+    import jax
+    jnp = _jnp()
+
+    def build(leaves):
+        return tuple(pj.merkle_tree(leaves, jnp))
+
+    return jax.jit(build)
+
+
+@lru_cache(maxsize=None)
+def permute12_fn():
+    import jax
+    jnp = _jnp()
+    return jax.jit(
+        lambda s: pj.permute12_batch(s, pj.pos.HASHER_SUITE_ID, jnp))
+
+
+def commit_device(rows, partition_size: int):
+    """Device commit: rows (B, W, 8) -> (levels, root_fe)."""
+    leaves = leaf_hash_fn(rows.shape[1], partition_size)(rows)
+    levels = merkle_levels_fn(leaves.shape[0])(leaves)
+    return levels

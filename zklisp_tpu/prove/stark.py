@@ -168,64 +168,6 @@ def _roll(a, shift, xp):
     return xp.roll(a, shift, axis=0)
 
 
-def periodic_lde_values(air: ZkLispAir, blowup: int, xp) -> List[FVec]:
-    """All periodic columns evaluated over the LDE domain as FVecs."""
-    n = air.trace_len
-    N = n * blowup
-    cycle = 32
-    pat = air.periodic_pattern()
-
-    # cycle-32 selectors: poly in y = x^(n/32); values have period
-    # 32*blowup on the LDE index.
-    period = cycle * blowup
-    g32 = f128.get_root_of_unity(cycle)
-    y0 = pow(OFFSET, n // cycle, P)
-    wN = f128.get_root_of_unity(N)
-    wy = pow(wN, n // cycle, P)
-
-    ys = []
-    cur = y0
-    for _ in range(period):
-        ys.append(cur)
-        cur = f128.mul(cur, wy)
-
-    out: List[FVec] = []
-    # precompute Lagrange-32 values for each y and each position
-    ypow32 = [pow(y, cycle, P) for y in ys]
-    inv_cache = {}
-    for col in pat:
-        vals = []
-        for idx, y in enumerate(ys):
-            acc = 0
-            for p_pos in range(cycle):
-                if col[p_pos]:
-                    gp = pow(g32, p_pos, P)
-                    if y == gp:
-                        acc = (acc + 1) % P
-                    else:
-                        den = (cycle * (y - gp)) % P
-                        if den not in inv_cache:
-                            inv_cache[den] = f128.inv(den)
-                        acc = (acc + (ypow32[idx] - 1) * gp
-                               % P * inv_cache[den]) % P
-            vals.append(acc)
-        tiled = vals * (N // period)
-        out.append(FVec.from_ints(tiled, xp))
-
-    # p_last: coeffs c_k = w_n^k / n, evaluated over LDE via NTT
-    g = f128.get_root_of_unity(n)
-    n_inv = f128.inv(n)
-    coeffs = []
-    cur = n_inv
-    for _ in range(n):
-        coeffs.append(cur)
-        cur = f128.mul(cur, g)
-    p_last = ntt.coset_evaluate(
-        xp.asarray(limb.from_ints(coeffs)), blowup, xp)
-    out.append(FVec(p_last, xp))
-    return out
-
-
 def lde_points_host(n: int, blowup: int) -> List[int]:
     N = n * blowup
     w = f128.get_root_of_unity(N)
@@ -392,7 +334,7 @@ def prove_trace(trace, air: ZkLispAir, air_pi: AirPublicInputs,
     betas = coin.draw_many(len(groups))
 
     # 4. composition evaluations over the LDE domain
-    periodic = periodic_lde_values(air, blowup, xp)
+    periodic = air.periodic_lde(blowup, xp)
     cur = [FVec(trace_lde[c], xp) for c in range(w)]
     nxt = [FVec(_roll(trace_lde[c], -blowup, xp), xp) for c in range(w)]
     tvals = air.evaluate_transition(cur, nxt, periodic)
@@ -560,36 +502,22 @@ def prove_trace(trace, air: ZkLispAir, air_pi: AirPublicInputs,
 # verifier
 # ---------------------------------------------------------------------------
 
-def verify_trace(proof: StarkProof, air_pi: AirPublicInputs,
-                 min_security_bits: int = 0) -> None:
-    """Full verification; raises VerifyError on any failure."""
+def replay_challenges(proof: StarkProof, air, air_pi) -> dict:
+    """Replay the Fiat-Shamir transcript (fs.rs order) from a proof.
+
+    Returns all challenges the verifier needs; draws do not mutate the
+    seed, so constraint-coefficient draws can be safely included.
+    """
     options = proof.context.options
     n = proof.context.trace_len
     w = proof.context.trace_width
-    blowup = options.blowup
-    N = n * blowup
-
-    from .params import estimate_conjectured_security_bits
-    if min_security_bits and (estimate_conjectured_security_bits(options)
-                              < min_security_bits):
-        raise VerifyError("proof options below required security level")
-
-    air = ZkLispAir(w, n, air_pi)
+    N = n * options.blowup
     Q = air.ce_blowup()
-    num_layers = options.num_fri_layers(N)
 
-    if len(proof.ood_trace_current) != w or len(proof.ood_quotient_current) != Q:
-        raise VerifyError("OOD frame width mismatch")
-    if len(proof.fri_roots) != num_layers:
-        raise VerifyError("FRI layer count mismatch")
-
-    # --- FS replay (fs.rs order) ---
     coin = RandomCoin(proof.context.to_elements() + air_pi.to_elements())
     coin.reseed(proof.trace_root)
-    n_trans = air.num_transition_constraints()
-    assertions = air.get_assertions()
-    groups = group_assertions(assertions, n)
-    alphas = coin.draw_many(n_trans)
+    alphas = coin.draw_many(air.num_transition_constraints())
+    groups = group_assertions(air.get_assertions(), n)
     betas = coin.draw_many(len(groups))
     coin.reseed(proof.constraint_root)
     z = coin.draw()
@@ -602,11 +530,46 @@ def verify_trace(proof: StarkProof, air_pi: AirPublicInputs,
     for root in proof.fri_roots:
         coin.reseed(root)
         fri_alphas.append(coin.draw())
+    pow_ok = (coin.check_leading_zeros(proof.pow_nonce)
+              >= options.grinding_factor)
+    positions = sorted(set(coin.draw_integers(
+        options.num_queries, N, proof.pow_nonce)))
+    return dict(alphas=alphas, betas=betas, groups=groups, z=z,
+                gammas=gammas, deltas=deltas, fri_alphas=fri_alphas,
+                pow_ok=pow_ok, positions=positions)
 
-    if coin.check_leading_zeros(proof.pow_nonce) < options.grinding_factor:
+
+def verify_trace(proof: StarkProof, air_pi, min_security_bits: int = 0,
+                 air=None) -> None:
+    """Full verification; raises VerifyError on any failure."""
+    options = proof.context.options
+    n = proof.context.trace_len
+    w = proof.context.trace_width
+    blowup = options.blowup
+    N = n * blowup
+
+    from .params import estimate_conjectured_security_bits
+    if min_security_bits and (estimate_conjectured_security_bits(options)
+                              < min_security_bits):
+        raise VerifyError("proof options below required security level")
+
+    if air is None:
+        air = ZkLispAir(w, n, air_pi)
+    Q = air.ce_blowup()
+    num_layers = options.num_fri_layers(N)
+
+    if len(proof.ood_trace_current) != w or len(proof.ood_quotient_current) != Q:
+        raise VerifyError("OOD frame width mismatch")
+    if len(proof.fri_roots) != num_layers:
+        raise VerifyError("FRI layer count mismatch")
+
+    # --- FS replay (fs.rs order) ---
+    ch = replay_challenges(proof, air, air_pi)
+    alphas, betas, groups = ch["alphas"], ch["betas"], ch["groups"]
+    z, gammas, deltas = ch["z"], ch["gammas"], ch["deltas"]
+    fri_alphas, positions = ch["fri_alphas"], ch["positions"]
+    if not ch["pow_ok"]:
         raise VerifyError("pow nonce does not satisfy grinding factor")
-    positions = coin.draw_integers(options.num_queries, N, proof.pow_nonce)
-    positions = sorted(set(positions))
     if len(positions) != proof.num_unique_queries():
         raise VerifyError("query position count mismatch")
 
