@@ -746,5 +746,141 @@ def prove_chain(program, pub_inputs, opts: ProverOptions):
     from ..prove.prover import prove_program
     steps = prove_program(program, pub_inputs, opts)
     agg_pi = build_agg_public(steps)
+    agg_pi.pi_digest = pub_inputs.digest()
     proof, digest = recursion_prove(steps, agg_pi, opts)
     return proof, digest, agg_pi
+
+
+# ---------------------------------------------------------------------------
+# chain verification (zk-lisp-proof/src/recursion.rs verify_chain)
+# ---------------------------------------------------------------------------
+
+def verify_chain(chain, opts: ProverOptions) -> None:
+    """chain: iterable of (proof, digest, agg_pi) links."""
+    prev_pi = None
+    prev_digest = None
+    suite_id = program_id = program_commitment = None
+    saw = False
+    for proof, digest, rc_pi in chain:
+        verify_agg(proof, rc_pi, opts.min_security_bits)
+        saw = True
+        if suite_id is None:
+            suite_id = rc_pi.suite_id
+            program_id = rc_pi.program_id
+            program_commitment = rc_pi.program_commitment
+        else:
+            if rc_pi.suite_id != suite_id:
+                raise AggError("suite_id must be constant across chain")
+            if rc_pi.program_id != program_id:
+                raise AggError("program_id must be constant across chain")
+            if rc_pi.program_commitment != program_commitment:
+                raise AggError(
+                    "program_commitment must be constant across chain")
+        if prev_pi is None:
+            if any(getattr(rc_pi, "prev_digest", b"\x00" * 32)):
+                raise AggError("first link prev_digest must be zero")
+        else:
+            if rc_pi.vm_state_initial != prev_pi.vm_state_final:
+                raise AggError("vm_state_initial must chain")
+            if rc_pi.ram_gp_unsorted_initial != \
+                    prev_pi.ram_gp_unsorted_final:
+                raise AggError("ram_gp_unsorted must chain")
+            if rc_pi.ram_gp_sorted_initial != prev_pi.ram_gp_sorted_final:
+                raise AggError("ram_gp_sorted must chain")
+            if tuple(rc_pi.rom_s_initial) != tuple(prev_pi.rom_s_final):
+                raise AggError("rom_s must chain")
+        prev_pi = rc_pi
+        prev_digest = digest
+    if not saw:
+        raise AggError("recursion chain must contain at least one step")
+
+
+# ---------------------------------------------------------------------------
+# ZKLRC1 artifact codec (src/lib.rs:485-773)
+# ---------------------------------------------------------------------------
+
+def encode_artifact(proof, rc_pi: AggAirPublicInputs) -> bytes:
+    from ..prove.formats import serialize_stark_proof
+    out = bytearray(b"ZKLRC1")
+    out += rc_pi.program_id
+    out += rc_pi.program_commitment
+    out += rc_pi.pi_digest
+    out += rc_pi.children_root
+    out += rc_pi.batch_id
+    out += struct.pack("<Q", rc_pi.v_units_total)
+    out += struct.pack("<I", rc_pi.children_count)
+    pm = rc_pi.profile_meta
+    out += struct.pack("<IHHHHIQ", pm.m, pm.rho, pm.q, pm.o, pm.lambda_,
+                       pm.pi_len, pm.v_units)
+    pf = rc_pi.profile_fri
+    out += struct.pack("<IBBB", pf.lde_blowup, pf.folding_factor,
+                       pf.redundancy, pf.num_layers)
+    pq = rc_pi.profile_queries
+    out += struct.pack("<HI", pq.num_queries, pq.grinding_factor)
+    out += rc_pi.suite_id
+    out += struct.pack("<I", len(rc_pi.children_ms))
+    for m in rc_pi.children_ms:
+        out += struct.pack("<I", m)
+    out += rc_pi.vm_state_initial
+    out += rc_pi.vm_state_final
+    out += rc_pi.ram_gp_unsorted_initial
+    out += rc_pi.ram_gp_unsorted_final
+    out += rc_pi.ram_gp_sorted_initial
+    out += rc_pi.ram_gp_sorted_final
+    for lane in rc_pi.rom_s_initial:
+        out += lane
+    for lane in rc_pi.rom_s_final:
+        out += lane
+    p_bytes = serialize_stark_proof(proof)
+    out += struct.pack("<I", len(p_bytes))
+    out += p_bytes
+    return bytes(out)
+
+
+def decode_artifact(data: bytes):
+    from ..prove.formats import _Reader, deserialize_stark_proof
+    r = _Reader(data)
+    if r.take(6) != b"ZKLRC1":
+        raise AggError("invalid recursion artifact magic")
+    program_id = r.take(32)
+    program_commitment = r.take(32)
+    pi_digest = r.take(32)
+    children_root = r.take(32)
+    batch_id = r.take(32)
+    v_units_total = r.u64()
+    children_count = r.u32()
+    m, rho, q, o, lam, pi_len, v_units = struct.unpack(
+        "<IHHHHIQ", r.take(24))
+    lde_blowup, folding_factor, redundancy, num_layers = struct.unpack(
+        "<IBBB", r.take(7))
+    num_queries, grinding_factor = struct.unpack("<HI", r.take(6))
+    suite_id = r.take(32)
+    n_ms = r.u32()
+    children_ms = [r.u32() for _ in range(n_ms)]
+    vm_state_initial = r.take(32)
+    vm_state_final = r.take(32)
+    ram_gp_unsorted_initial = r.take(32)
+    ram_gp_unsorted_final = r.take(32)
+    ram_gp_sorted_initial = r.take(32)
+    ram_gp_sorted_final = r.take(32)
+    rom_s_initial = tuple(r.take(32) for _ in range(3))
+    rom_s_final = tuple(r.take(32) for _ in range(3))
+    plen = r.u32()
+    proof = deserialize_stark_proof(r.take(plen))
+    rc_pi = AggAirPublicInputs(
+        program_id=program_id, program_commitment=program_commitment,
+        pi_digest=pi_digest, children_root=children_root,
+        v_units_total=v_units_total, children_count=children_count,
+        batch_id=batch_id,
+        profile_meta=AggProfileMeta(m, rho, q, o, lam, pi_len, v_units),
+        profile_fri=AggFriProfile(lde_blowup, folding_factor, redundancy,
+                                  num_layers),
+        profile_queries=AggQueryProfile(num_queries, grinding_factor),
+        suite_id=suite_id, children_ms=children_ms,
+        vm_state_initial=vm_state_initial, vm_state_final=vm_state_final,
+        ram_gp_unsorted_initial=ram_gp_unsorted_initial,
+        ram_gp_unsorted_final=ram_gp_unsorted_final,
+        ram_gp_sorted_initial=ram_gp_sorted_initial,
+        ram_gp_sorted_final=ram_gp_sorted_final,
+        rom_s_initial=rom_s_initial, rom_s_final=rom_s_final)
+    return proof, rc_pi

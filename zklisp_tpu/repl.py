@@ -1,0 +1,152 @@
+"""Interactive REPL (zk-lisp-cli/src/repl.rs).
+
+Session accumulates definitions; expressions evaluate through the VM
+trace.  Commands: :load :prove :verify :env :cost :help :quit, with
+paren-balanced multi-line input.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from typing import List, Optional
+
+from . import frontend
+from .agg import aggregate as agg
+from .compiler import CompileError, compile_str, reader
+from .core.pi import PublicInputsBuilder
+from .prove.params import ProverOptions
+from .trace.layout import STEPS_PER_LEVEL_P2
+
+HELP = """\
+Commands:
+  :help              show this help
+  :load FILE         load definitions from a file into the session
+  :env               list session definitions
+  :cost EXPR         estimate proving cost (levels / rows) for EXPR
+  :prove EXPR        prove EXPR with the session definitions
+  :verify            verify the last :prove artifact
+  :quit              exit
+Anything else is evaluated as a zk-lisp expression."""
+
+
+class ReplSession:
+    def __init__(self) -> None:
+        self.defs: List[str] = []
+        self.last_proof = None  # (proof, digest, rc_pi)
+
+    def source_with(self, expr: str) -> str:
+        return "\n".join(self.defs + [expr])
+
+    def handle(self, line: str, out=sys.stdout) -> None:
+        line = line.strip()
+        if not line:
+            return
+        if line in (":quit", ":q", ":exit"):
+            raise EOFError
+        if line in (":help", ":h"):
+            print(HELP, file=out)
+            return
+        if line == ":env":
+            for i, d in enumerate(self.defs):
+                first = d.strip().splitlines()[0]
+                print(f"  [{i}] {first}", file=out)
+            if not self.defs:
+                print("  (empty)", file=out)
+            return
+        if line.startswith(":load "):
+            path = line[6:].strip()
+            with open(path) as f:
+                self.defs.append(f.read())
+            print(f"loaded {path}", file=out)
+            return
+        if line.startswith(":cost "):
+            expr = line[6:]
+            prog = compile_str(self.source_with(expr))
+            levels = len(prog.ops)
+            total = max(1, 1 << (levels - 1).bit_length())
+            rows = total * STEPS_PER_LEVEL_P2
+            print(f"ops={levels} levels={total} trace_rows={rows}",
+                  file=out)
+            return
+        if line.startswith(":prove "):
+            expr = line[7:]
+            src = self.source_with(expr)
+            prog = compile_str(src)
+            pi = PublicInputsBuilder(prog).build()
+            opts = ProverOptions(queries=16, blowup=8, grind=0,
+                                 min_security_bits=0)
+            t0 = time.time()
+            proof, digest, rc_pi = agg.prove_chain(prog, pi, opts)
+            self.last_proof = (proof, digest, rc_pi)
+            print(f"proved in {time.time() - t0:.1f}s; "
+                  f"digest=0x{digest.hex()}", file=out)
+            return
+        if line == ":verify":
+            if self.last_proof is None:
+                print("nothing proved yet", file=out)
+                return
+            proof, _, rc_pi = self.last_proof
+            agg.verify_agg(proof, rc_pi)
+            print("verified OK", file=out)
+            return
+        if line.startswith("(def") or line.startswith("(typed-") \
+                or line.startswith("(deftype"):
+            # definition: validate then add to session
+            compile_str(self.source_with("(def (repl-probe-zz) 0)")
+                        if False else "\n".join(self.defs + [line]))
+            self.defs.append(line)
+            print("ok", file=out)
+            return
+        # expression: evaluate via the VM
+        prog = compile_str(self.source_with(line))
+        pi = PublicInputsBuilder(prog).build()
+        res = frontend.run_vm(prog, pi)
+        print(res.value, file=out)
+
+
+def _paren_balance(s: str) -> int:
+    bal = 0
+    in_str = False
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if in_str:
+            if c == "\\":
+                i += 1
+            elif c == '"':
+                in_str = False
+        elif c == '"':
+            in_str = True
+        elif c == ";":
+            while i < len(s) and s[i] != "\n":
+                i += 1
+        elif c == "(":
+            bal += 1
+        elif c == ")":
+            bal -= 1
+        i += 1
+    return bal
+
+
+def run_repl() -> None:
+    session = ReplSession()
+    print("zklisp-tpu REPL — :help for commands")
+    buf = ""
+    while True:
+        try:
+            prompt = "... " if buf else ">>> "
+            line = input(prompt)
+        except (EOFError, KeyboardInterrupt):
+            print()
+            return
+        buf = (buf + "\n" + line) if buf else line
+        if _paren_balance(buf) > 0:
+            continue
+        try:
+            session.handle(buf)
+        except EOFError:
+            return
+        except (CompileError, Exception) as e:  # noqa: BLE001
+            print(f"error: {e}")
+        buf = ""
