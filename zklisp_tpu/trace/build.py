@@ -85,25 +85,43 @@ def apply_level_absorb(trace: TraceTable, suite_id: bytes, level: int,
     row_map = base + schedule.pos_map()
     suite = pos.get_poseidon_suite(suite_id)
 
-    for i in range(10):
-        trace.set(cols.lane_index(i), row_map,
-                  inputs[i] if i < len(inputs) else 0)
-    trace.set(cols.lane_c0, row_map, suite.dom[0])
-    trace.set(cols.lane_c1, row_map, suite.dom[1])
+    state0 = [inputs[i] if i < len(inputs) else 0 for i in range(10)]
+    state0 += [suite.dom[0], suite.dom[1]]
 
-    s = [trace.get(cols.lane_index(i), row_map) for i in range(12)]
-    for j, rcj in enumerate(suite.rc[:POSEIDON_ROUNDS]):
-        r = base + 1 + j
-        for i, val in enumerate(s):
-            trace.set(cols.lane_index(i), r, val)
-        s3 = [(v * v % P) * v % P for v in s]
-        s = [(sum(m * v for m, v in zip(row_m, s3)) + rcj[i]) % P
-             for i, row_m in enumerate(suite.mds)]
+    from .. import native
+    if native.available():
+        flat = native.poseidon12_levels(
+            state0, _flat(suite.mds), _flat(suite.rc), 1, POSEIDON_ROUNDS)
+        # reference layout (trace/poseidon.rs): map row and round row 1
+        # both hold the initial state s_0; round row 1+j holds s_j; the
+        # final row holds s_rounds.
+        for i in range(12):
+            trace.set(cols.lane_index(i), row_map, state0[i])
+        for j in range(POSEIDON_ROUNDS):
+            r = base + 1 + j
+            for i in range(12):
+                trace.set(cols.lane_index(i), r, flat[12 * j + i])
+        s = flat[12 * POSEIDON_ROUNDS:12 * (POSEIDON_ROUNDS + 1)]
+    else:
+        for i in range(12):
+            trace.set(cols.lane_index(i), row_map, state0[i])
+        s = state0
+        for j, rcj in enumerate(suite.rc[:POSEIDON_ROUNDS]):
+            r = base + 1 + j
+            for i, val in enumerate(s):
+                trace.set(cols.lane_index(i), r, val)
+            s3 = [(v * v % P) * v % P for v in s]
+            s = [(sum(m * v for m, v in zip(row_m, s3)) + rcj[i]) % P
+                 for i, row_m in enumerate(suite.mds)]
 
     row_fin = base + schedule.pos_final()
     for r in range(row_fin, base + steps):
         for i, v in enumerate(s):
             trace.set(cols.lane_index(i), r, v)
+
+
+def _flat(rows) -> list:
+    return [v for row in rows for v in row]
 
 
 # ---------------------------------------------------------------------------
@@ -699,14 +717,47 @@ def _fill_rom(trace: TraceTable, prog: Program, total_levels: int) -> None:
     w0 = pos.rom_weights_for_seed(pos.ROM_W_SEED_0)
     w1 = pos.rom_weights_for_seed(pos.ROM_W_SEED_1)
 
+    # per-level linear encodings from the map rows
+    encs = []
+    for lvl in range(total_levels):
+        row_map = lvl * steps + schedule.pos_map()
+        encs.append(rom_linear_encode_from_trace(trace, row_map, cols, w0))
+        encs.append(rom_linear_encode_from_trace(trace, row_map, cols, w1))
+
+    from .. import native
+    if native.available():
+        flat = native.rom_chain(encs, _flat(mds3), _flat(rc3), total_levels,
+                                POSEIDON_ROUNDS)
+        per_level = 3 * (POSEIDON_ROUNDS + 1)
+        for lvl in range(total_levels):
+            base = lvl * steps
+            off = per_level * lvl
+            # map row and round row 1 both hold the initial state s_0;
+            # round row 1+j holds s_j; final row holds s_rounds
+            # (rom.rs RomTraceBuilder layout)
+            for i in range(3):
+                trace.set(cols.rom_s_index(i), base, flat[off + i])
+            for j in range(POSEIDON_ROUNDS):
+                r = base + 1 + j
+                for i in range(3):
+                    trace.set(cols.rom_s_index(i), r, flat[off + 3 * j + i])
+            fin = off + 3 * POSEIDON_ROUNDS
+            for i in range(3):
+                trace.set(cols.rom_s_index(i),
+                          base + schedule.pos_final(), flat[fin + i])
+            for r in range(base + schedule.pos_final() + 1, base + steps):
+                for i in range(3):
+                    trace.set(cols.rom_s_index(i), r, flat[fin + i])
+        return
+
     s0_prev = 0
     for lvl in range(total_levels):
         base = lvl * steps
         row_map = base + schedule.pos_map()
         row_final = base + schedule.pos_final()
 
-        s1 = rom_linear_encode_from_trace(trace, row_map, cols, w0)
-        s2 = rom_linear_encode_from_trace(trace, row_map, cols, w1)
+        s1 = encs[2 * lvl]
+        s2 = encs[2 * lvl + 1]
 
         trace.set(cols.rom_s_index(0), row_map, s0_prev)
         trace.set(cols.rom_s_index(1), row_map, s1)
