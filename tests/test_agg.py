@@ -1,0 +1,111 @@
+"""Aggregation tests (mirroring tests/recursion_single.rs,
+recursion_multi.rs, agg_basic.rs patterns with weakened options)."""
+
+import copy
+
+import pytest
+
+from zklisp_tpu.agg import aggregate as agg
+from zklisp_tpu.compiler import builder as B, ops as O
+from zklisp_tpu.core.pi import PublicInputsBuilder
+from zklisp_tpu.prove.params import ProverOptions
+from zklisp_tpu.prove import stark
+
+OPTS = ProverOptions(queries=8, blowup=8, grind=0, min_security_bits=0,
+                     max_segment_rows=128)
+
+
+def mkprog(ops):
+    b = B.ProgramBuilder()
+    for op in ops:
+        b.push(op)
+    return b.finalize(B.CompilerMetrics())
+
+
+@pytest.fixture(scope="module")
+def chain_bundle():
+    prog = mkprog([O.Const(0, 7), O.Const(1, 9), O.Add(2, 0, 1),
+                   O.Mul(3, 2, 2), O.Sub(4, 3, 0), O.End()])
+    pi = PublicInputsBuilder(prog).build()
+    proof, digest, agg_pi = agg.prove_chain(prog, pi, OPTS)
+    return prog, pi, proof, digest, agg_pi
+
+
+def test_multi_segment_chain_roundtrip(chain_bundle):
+    _, _, proof, digest, agg_pi = chain_bundle
+    assert agg_pi.children_count == 2          # 8 levels / 4-level segments
+    agg.verify_agg(proof, agg_pi)
+    assert digest == agg.recursion_digest(agg_pi)
+
+
+def test_artifact_codec_roundtrip(chain_bundle):
+    _, _, proof, _, agg_pi = chain_bundle
+    blob = agg.encode_artifact(proof, agg_pi)
+    proof2, pi2 = agg.decode_artifact(blob)
+    assert pi2.children_root == agg_pi.children_root
+    assert pi2.v_units_total == agg_pi.v_units_total
+    assert pi2.children_ms == agg_pi.children_ms
+    agg.verify_agg(proof2, pi2)
+
+
+def test_tampered_children_root_rejected(chain_bundle):
+    _, _, proof, _, agg_pi = chain_bundle
+    bad = copy.deepcopy(agg_pi)
+    bad.children_root = bytes(32)
+    with pytest.raises(stark.VerifyError):
+        agg.verify_agg(proof, bad)
+
+
+def test_tampered_boundary_rejected(chain_bundle):
+    _, _, proof, _, agg_pi = chain_bundle
+    bad = copy.deepcopy(agg_pi)
+    bad.vm_state_final = bytes([1] * 32)
+    with pytest.raises(stark.VerifyError):
+        agg.verify_agg(proof, bad)
+
+
+def test_verify_chain_single_link(chain_bundle):
+    _, _, proof, digest, agg_pi = chain_bundle
+    agg.verify_chain([(proof, digest, agg_pi)], OPTS)
+
+
+def test_verify_chain_broken_link(chain_bundle):
+    _, _, proof, digest, agg_pi = chain_bundle
+    second = copy.deepcopy(agg_pi)
+    # second link's initial state does not match first's final state
+    second.vm_state_initial = bytes([9] * 32)
+    with pytest.raises((agg.AggError, stark.VerifyError)):
+        agg.verify_chain(
+            [(proof, digest, agg_pi), (proof, digest, second)], OPTS)
+
+
+def test_children_root_order_invariance(chain_bundle):
+    # children_root sorts leaves: permuting steps preserves the root
+    prog, pi, *_ = chain_bundle
+    from zklisp_tpu.prove.prover import prove_program
+    steps = prove_program(prog, pi, OPTS)
+    r1 = agg.children_root(steps[0].proof.header.suite_id, steps)
+    r2 = agg.children_root(steps[0].proof.header.suite_id,
+                           list(reversed(steps)))
+    assert r1 == r2
+
+
+def test_agg_trace_shape_checks(chain_bundle):
+    prog, pi, *_ = chain_bundle
+    from zklisp_tpu.prove.prover import prove_program
+    steps = prove_program(prog, pi, OPTS)
+    agg_pi = agg.build_agg_public(steps)
+    tr = agg.build_agg_trace(agg_pi, steps)
+    assert tr.length == 8   # min rows, pow2
+    cols = agg.AggColumns()
+    # error columns must be identically zero for an honest batch
+    for name in ("comp_sum", "map_l0_sum", "final_llast_sum",
+                 "trace_root_err", "constraint_root_err", "vm_chain_err",
+                 "ram_u_chain_err", "ram_s_chain_err", "rom_chain_err_0"):
+        col = getattr(cols, name)
+        assert all(v == 0 for v in tr.col(col)), name
+    # wrong v_units_total rejected
+    bad = copy.deepcopy(agg_pi)
+    bad.v_units_total += 1
+    with pytest.raises(agg.AggError):
+        agg.build_agg_trace(bad, steps)

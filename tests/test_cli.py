@@ -1,0 +1,74 @@
+"""CLI tests (mirroring zk-lisp-cli/tests/cli.rs)."""
+
+import json
+import os
+
+import pytest
+
+from zklisp_tpu import cli
+
+HELLO = "/root/reference/examples/hello-zk.zlisp"
+
+
+def run_cli(capsys, argv):
+    rc = cli.main(argv)
+    out = capsys.readouterr().out.strip()
+    return rc, out
+
+
+def test_run_happy_path_json(capsys):
+    rc, out = run_cli(capsys, [
+        "run", HELLO, "--arg", "u64:2", "--arg", "u64:5",
+        "--secret", "u64:3", "--json"])
+    assert rc == 0
+    data = json.loads(out)
+    assert data["ok"] and data["result"] == "1"
+    assert data["trace_len"] == 512
+
+
+def test_run_missing_args_fails(capsys):
+    rc, out = run_cli(capsys, ["run", HELLO, "--json"])
+    assert rc == 1
+    assert not json.loads(out)["ok"]
+
+
+def test_run_schema_type_mismatch(capsys):
+    rc, out = run_cli(capsys, [
+        "run", HELLO, "--arg", "bytes32:0x01", "--arg", "u64:5", "--json"])
+    assert rc == 1
+
+
+def test_typed_arg_parsing():
+    a = cli.parse_vm_arg("u64:7")
+    assert a.kind == "u64" and a.value == 7
+    a = cli.parse_vm_arg("u128:340282366920938463463374607431768211455")
+    assert a.kind == "u128"
+    a = cli.parse_vm_arg("bytes32:0x0102")
+    assert a.kind == "bytes32" and a.value[0] == 1 and a.value[2] == 0
+    vmargs, u64s = cli.parse_public_args(["u64:7", "u128:9"])
+    assert u64s == [7, 9]
+    with pytest.raises(cli.CliError):
+        cli.parse_public_args([f"u128:{1 << 100}"])
+
+
+def test_preflight_catches_bad_assert(capsys, tmp_path):
+    src = tmp_path / "bad.zlisp"
+    src.write_text(
+        "(def (main x) (begin (assert (= x (secret-arg 0))) 1))")
+    rc, out = run_cli(capsys, [
+        "run", str(src), "--arg", "u64:5", "--secret", "u64:6",
+        "--preflight", "console", "--json"])
+    assert rc == 1  # assert 5 == 6 fails constraints
+
+
+def test_repl_session(capsys):
+    from zklisp_tpu.repl import ReplSession
+    s = ReplSession()
+    import io
+    out = io.StringIO()
+    s.handle("(def (sq x) (* x x))", out)
+    s.handle("(sq 7)", out)
+    text = out.getvalue()
+    assert "ok" in text and "49" in text
+    s.handle(":cost (sq 9)", out)
+    assert "trace_rows" in out.getvalue()

@@ -98,8 +98,13 @@ class ReplSession:
             self.defs.append(line)
             print("ok", file=out)
             return
-        # expression: evaluate via the VM
-        prog = compile_str(self.source_with(line))
+        # expression: wrap into (def (main) EXPR) so the result is
+        # materialized into r0 even when it constant-folds
+        # (repl.rs wraps sessions the same way)
+        from .compiler import compile_entry
+        wrapped = self.source_with(f"(def (--repl-expr--) {line})"
+                                   f"\n(def (main) (--repl-expr--))")
+        prog = compile_entry(wrapped, [])
         pi = PublicInputsBuilder(prog).build()
         res = frontend.run_vm(prog, pi)
         print(res.value, file=out)
