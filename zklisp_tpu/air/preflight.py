@@ -25,6 +25,49 @@ class PreflightViolation:
     detail: str = ""
 
 
+def report_console(air: ZkLispAir, trace: TraceTable,
+                   violations) -> str:
+    """Rich console diagnostic (reference preflight.rs table report):
+    for each violation, the level/position, the constraint index, and a
+    snapshot of registers, lanes and RAM columns at the failing row."""
+    lines = []
+    c = air.cols
+    for v in violations:
+        lvl, pos = divmod(v.row, 32)
+        lines.append(f"VIOLATION {v.kind} row={v.row} (level {lvl} "
+                     f"pos {pos}) index={v.index} value={v.value}")
+        row = trace.row(min(v.row, trace.length - 1))
+        regs = " ".join(f"r{i}={row[c.r_index(i)]}" for i in range(8))
+        lines.append(f"  regs: {regs}")
+        lanes = " ".join(str(row[c.lane_index(i)]) for i in range(4))
+        lines.append(f"  lanes[0..4): {lanes}")
+        lines.append(f"  pc={row[c.pc]} pose_active={row[c.pose_active]} "
+                     f"imm={row[c.imm]} eq_inv={row[c.eq_inv]}")
+        if hasattr(c, "ram_sorted"):
+            lines.append(
+                f"  ram: sorted={row[c.ram_sorted]} "
+                f"addr={row[c.ram_s_addr]} clk={row[c.ram_s_clk]} "
+                f"val={row[c.ram_s_val]} w={row[c.ram_s_is_write]} "
+                f"gp_u={row[c.ram_gp_unsorted]} gp_s={row[c.ram_gp_sorted]}")
+    return "\n".join(lines)
+
+
+def report_json(air: ZkLispAir, trace: TraceTable, violations) -> str:
+    import json
+    out = []
+    for v in violations:
+        lvl, pos = divmod(v.row, 32)
+        row = trace.row(min(v.row, trace.length - 1))
+        c = air.cols
+        out.append({
+            "kind": v.kind, "row": v.row, "level": lvl, "pos": pos,
+            "index": v.index, "value": str(v.value),
+            "regs": [str(row[c.r_index(i)]) for i in range(8)],
+            "pc": str(row[c.pc]),
+        })
+    return json.dumps({"violations": out})
+
+
 def run_preflight(air: ZkLispAir, trace: TraceTable,
                   max_violations: int = 5) -> List[PreflightViolation]:
     """Evaluate all constraints on the trace domain; return violations."""
@@ -53,3 +96,68 @@ def run_preflight(air: ZkLispAir, trace: TraceTable,
                 if len(violations) >= max_violations:
                     return violations
     return violations
+
+
+def debug_constraint_map(air: ZkLispAir) -> list:
+    """Constraint index -> (module, degree) map (vm/air/debug.rs analog).
+
+    Reconstructs the module boundaries from the same feature/usage gating
+    as evaluate_transition so a failing index can be attributed.
+    """
+    out = []
+    f = air.features
+
+    def block(module, count):
+        start = len(out)
+        for k in range(count):
+            d = air.degrees[start + k]
+            out.append((module, d.base, d.cycles))
+
+    from ..trace.layout import (NR, POSEIDON_ROUNDS, SPONGE_IDX_BITS,
+                                VM_USAGE_SPONGE)
+    mask = air.vm_usage_mask
+    sponge_used = bool(mask & (1 << VM_USAGE_SPONGE))
+    if f.poseidon:
+        block("poseidon.rounds", POSEIDON_ROUNDS * 12)
+        block("poseidon.hold", 12)
+        if f.vm and f.sponge and sponge_used:
+            block("poseidon.vm_binding", 10)
+    if f.vm:
+        n_ctrl = (5 * NR) + 5 + NR
+        if f.sponge and sponge_used:
+            n_ctrl += 10 * (SPONGE_IDX_BITS + 1)
+        n_ctrl += 1 + 17 + 1 + 17 + 2
+        block("ctrl", n_ctrl)
+        n_alu = 2 * NR
+        from ..trace.layout import (VM_USAGE_ASSERT, VM_USAGE_ASSERT_BIT,
+                                    VM_USAGE_ASSERT_RANGE, VM_USAGE_DIV128,
+                                    VM_USAGE_DIVMOD, VM_USAGE_EQ,
+                                    VM_USAGE_MULWIDE)
+        if mask & (1 << VM_USAGE_EQ):
+            n_alu += 2
+        if mask & (1 << VM_USAGE_DIVMOD):
+            n_alu += 2
+        if mask & (1 << VM_USAGE_ASSERT):
+            n_alu += 1
+        if mask & (1 << VM_USAGE_ASSERT_BIT):
+            n_alu += 1
+        if mask & (1 << VM_USAGE_ASSERT_RANGE):
+            n_alu += 33
+        if mask & (1 << VM_USAGE_MULWIDE):
+            n_alu += 1
+        if mask & (1 << VM_USAGE_DIV128):
+            n_alu += 2
+        block("alu", n_alu)
+    if f.ram:
+        from ..trace.layout import VM_USAGE_RAM_DELTA_CLK
+        n_ram = 7
+        if mask & (1 << VM_USAGE_RAM_DELTA_CLK):
+            n_ram += bin(air.ram_delta_clk_bits).count("1") + 1
+        block("ram", n_ram)
+    if f.merkle:
+        block("merkle", 7)
+    if air.rom_enabled and any(air.pub.core.program_commitment):
+        block("rom", POSEIDON_ROUNDS * 3 + 3 + 2)
+    while len(out) < len(air.degrees):
+        out.append(("pad", 1, ()))
+    return out

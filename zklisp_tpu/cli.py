@@ -133,7 +133,7 @@ def cmd_run(args, json_out: bool, max_bytes: int, pf: str,
     validate_main_args_against_schema(program, public_vmargs)
     pi = build_pi_for_program(program, public_vmargs, secret_vmargs)
     if pf != frontend.PREFLIGHT_OFF:
-        frontend.preflight(program, pi, _opts(args, security_bits))
+        frontend.preflight(program, pi, _opts(args, security_bits), mode=pf)
     res = frontend.run_vm(program, pi)
     m = program.compiler_metrics
     if json_out:
@@ -164,7 +164,7 @@ def cmd_prove(args, json_out: bool, max_bytes: int, pf: str,
     pi = build_pi_for_program(program, public_vmargs, secret_vmargs)
     opts = _opts(args, security_bits)
     if pf != frontend.PREFLIGHT_OFF:
-        frontend.preflight(program, pi, opts)
+        frontend.preflight(program, pi, opts, mode=pf)
 
     proof, digest, rc_pi = agg.prove_chain(program, pi, opts)
     blob = agg.encode_artifact(proof, rc_pi)

@@ -49,9 +49,12 @@ class PreflightError(Exception):
 
 
 def preflight(program: Program, pub_inputs: pi_mod.PublicInputs,
-              opts: Optional[ProverOptions] = None) -> None:
+              opts: Optional[ProverOptions] = None,
+              mode: str = PREFLIGHT_CONSOLE) -> None:
     """Per-segment preflight mirroring the prover's exact AIR wiring
-    (src/lib.rs:191-292).  Raises PreflightError on the first violations.
+    (src/lib.rs:191-292).  Raises PreflightError on the first violations;
+    the exception message carries the console or JSON diagnostic report
+    depending on `mode`.
     """
     opts = opts or ProverOptions()
     rom_acc = (tb.rom_acc_from_program(program)
@@ -86,4 +89,11 @@ def preflight(program: Program, pub_inputs: pi_mod.PublicInputs,
         air = ZkLispAir(seg_trace.width, seg_trace.length, air_pi)
         violations = run_preflight(air, seg_trace)
         if violations:
-            raise PreflightError(violations)
+            from .air import preflight as pf
+            if mode == PREFLIGHT_JSON:
+                report = pf.report_json(air, seg_trace, violations)
+            else:
+                report = pf.report_console(air, seg_trace, violations)
+            err = PreflightError(violations)
+            err.report = report
+            raise err

@@ -127,6 +127,15 @@ def prove_segment(suite_id: bytes, rom_acc: Tuple[int, int, int],
     pi_len = len(air_pi.to_elements())
     air = ZkLispAir(trace.width, trace.length, air_pi)
 
+    # ZKL_PREFLIGHT env (prove.rs:128-136): run the row-wise constraint
+    # check with the exact prover AIR before proving.
+    pf_mode = os.environ.get("ZKL_PREFLIGHT", "off").lower()
+    if pf_mode in ("console", "json"):
+        from ..air.preflight import run_preflight
+        violations = run_preflight(air, trace)
+        if violations:
+            raise ProveError(f"preflight violations: {violations[:3]}")
+
     meta = StepMeta.from_env(trace.length, wf_opts, min_bits, pi_len)
     inner = stark.prove_trace(trace, air, air_pi, wf_opts, _xp())
 
