@@ -75,12 +75,32 @@ def prove_program(program: Program, pub_inputs: pi_mod.PublicInputs,
             prev_state = tb.PrevState(state_out)
         return steps
 
-    with ThreadPoolExecutor(max_workers=max_parallel) as pool:
-        futs = [pool.submit(prove_segment, suite_id, rom_acc, i, n_seg,
-                            seg, full_trace, program, pub_inputs,
-                            base_opts, opts.min_security_bits, None)
-                for i, seg in enumerate(segments)]
-        return [f.result()[0] for f in futs]
+    # Parallel segment proving (the reference's bounded rayon pool,
+    # prove.rs:1017-1051).  Python threads would serialize on the GIL for
+    # the host compute path, so fork a process pool AFTER building the
+    # full trace: children inherit it copy-on-write and only receive the
+    # segment index; results come back as serialized step proofs.
+    import multiprocessing as mp
+    global _FORK_STATE
+    _FORK_STATE = (suite_id, rom_acc, n_seg, segments, full_trace,
+                   program, pub_inputs, base_opts, opts.min_security_bits)
+    ctx = mp.get_context("fork")
+    with ctx.Pool(processes=max_parallel) as pool:
+        blobs = pool.map(_prove_segment_forked, range(n_seg))
+    from .formats import StepProof as _SP
+    return [_SP.from_bytes(b) for b in blobs]
+
+
+_FORK_STATE = None
+
+
+def _prove_segment_forked(i: int) -> bytes:
+    (suite_id, rom_acc, n_seg, segments, full_trace, program,
+     pub_inputs, base_opts, min_bits) = _FORK_STATE
+    step, _ = prove_segment(suite_id, rom_acc, i, n_seg, segments[i],
+                            full_trace, program, pub_inputs, base_opts,
+                            min_bits, None)
+    return step.to_bytes()
 
 
 def prove_segment(suite_id: bytes, rom_acc: Tuple[int, int, int],
