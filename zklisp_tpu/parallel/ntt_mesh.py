@@ -89,8 +89,10 @@ def ntt_sharded(x, mesh, axis_name: str = "seg"):
                 lambda v: ntt.ntt(v, jnp, pows=jnp.asarray(pows_C)))(rows)
         return rows[None]                                  # (1, R//C, C, 8)
 
-    f = shard_map(body, mesh=mesh, in_specs=(Pt(axis_name),),
-                  out_specs=Pt(axis_name))
+    from jax.sharding import NamedSharding
+    A = jax.device_put(A, NamedSharding(mesh, Pt(axis_name)))
+    f = jax.jit(shard_map(body, mesh=mesh, in_specs=(Pt(axis_name),),
+                          out_specs=Pt(axis_name)))
     out = f(A)                       # (C, R//C, C, 8): [blk, i, k2]
     # out[blk, i, k2] = X[k1 + R*k2] with k1 = blk*(R//C) + i
     out = out.reshape(R, C, limb.NLIMB)        # [k1, k2]
