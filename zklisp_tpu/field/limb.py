@@ -228,6 +228,118 @@ def _dot_numpy_u64(a, b):
     return _reduce_cols_u64(cols)
 
 
+# ---------------------------------------------------------------------------
+# Columnar XLA path: every multi-limb value is ONE (..., K) uint32 array of
+# base-2^16 columns.  This keeps the traced graph small (tens of vector ops
+# per field mul instead of hundreds of per-limb slices) and gives XLA a
+# single fusion root — stacking 8 separately-computed limb slices at the
+# end of a deep graph makes XLA:CPU duplicate the whole upstream
+# computation per slice (measured 40x slower).
+# ---------------------------------------------------------------------------
+
+def _place(cols, offset: int, width: int, xp):
+    """Zero-pad columns to `width`, shifted up by `offset` (x 2^16off)."""
+    pad = [(0, 0)] * (cols.ndim - 1) + [
+        (offset, width - offset - cols.shape[-1])]
+    return xp.pad(cols, pad)
+
+
+def _staircase_sum(mat, xp):
+    """(..., 8, 8) -> (..., 15) anti-diagonal sums S[k] = sum_{i+j=k} m[i,j].
+
+    Pad rows to 16, flatten, truncate to 8x15 and re-view: row i lands
+    shifted by i, so a column sum of the view is the anti-diagonal sum.
+    Entries must be < 2^29 (8-term column sums stay in uint32).
+    """
+    lead = mat.shape[:-2]
+    padded = xp.pad(mat, [(0, 0)] * (mat.ndim - 2) + [(0, 0), (0, 8)])
+    flat = padded.reshape(lead + (128,))[..., :120]
+    return xp.sum(flat.reshape(lead + (8, 15)), axis=-2, dtype=xp.uint32)
+
+
+def _antidiag16(lo, hi, xp):
+    """Product columns: lo at offset 0, hi (the >>16 halves) at offset 1."""
+    return (_place(_staircase_sum(lo, xp), 0, 16, xp)
+            + _place(_staircase_sum(hi, xp), 1, 16, xp))
+
+
+def _normalize_cols(cols, xp):
+    """(..., K) u32 columns (any values) -> canonical 16-bit digits
+    (..., K+2), value preserved exactly.
+
+    One split pass brings every column into [0, 2^17-2], where the
+    per-column carry is a single bit with DISJOINT generate/propagate
+    flags; the full carry ripple is then resolved in O(1) vector ops via
+    the packed-bit adder identity  C = ((G<<1) + P) ^ P.
+    """
+    K = cols.shape[-1]
+    assert K + 2 <= 32, "bit-packed carry resolution needs K+2 <= 32"
+    lo = cols & LIMB_MASK
+    hi = cols >> 16
+    t = _place(lo, 0, K + 2, xp) + _place(hi, 1, K + 2, xp)
+    g = (t >> 16).astype(xp.uint32)                      # 0/1, t <= 2^17-2
+    p = ((t & LIMB_MASK) == LIMB_MASK).astype(xp.uint32)
+    w = xp.arange(K + 2, dtype=xp.uint32)
+    G = xp.sum(g << w, axis=-1, dtype=xp.uint32)
+    Pm = xp.sum(p << w, axis=-1, dtype=xp.uint32)
+    C = ((G << 1) + Pm) ^ Pm                             # carry-in bits
+    cbits = (C[..., None] >> w) & xp.uint32(1)
+    return (t + cbits) & LIMB_MASK
+
+
+def _fold_cols(digits, xp):
+    """Canonical digits (..., K), K > 8: value -> lo + (value>>128) * C.
+
+    Returns un-normalized columns (..., max(8, K-8+4)); every column is
+    <= 7 * 0xFFFF < 2^19."""
+    K = digits.shape[-1]
+    lo = digits[..., :NLIMB]
+    hi = digits[..., NLIMB:]
+    W = max(NLIMB, (K - NLIMB) + 4)
+    acc = _place(lo, 0, W, xp)
+    for l, cv in enumerate(C_LIMBS):
+        pr = hi * xp.uint32(cv)
+        acc = acc + _place(pr & LIMB_MASK, l, W, xp)
+        acc = acc + _place(pr >> 16, l + 1, W, xp)
+    return acc
+
+
+def _ndigits(bound: int) -> int:
+    return max(1, (bound.bit_length() + 15) // 16)
+
+
+# two's complement of p over 8 columns, +1 pre-added at column 0
+_P_COMPL = _np.asarray(
+    [(0xFFFF - P_LIMBS[0]) + 1] + [0xFFFF - v for v in P_LIMBS[1:]],
+    dtype=_np.uint32)
+
+
+def _cond_sub_cols(d, xp):
+    """d (..., 8) canonical digits, value < 2^128: subtract p if >= p."""
+    t = d + xp.asarray(_P_COMPL)          # d + (2^128 - p); cols <= 2^17-2
+    nt = _normalize_cols(t, xp)           # (..., 10); digit 8 = bit 128
+    ge = nt[..., NLIMB] > 0
+    return xp.where(ge[..., None], nt[..., :NLIMB], d)
+
+
+def _reduce_cols_xla(cols, xp, bound: int):
+    """(..., K) u32 columns with value <= `bound` -> canonical (..., 8)."""
+    d = _normalize_cols(cols, xp)[..., :_ndigits(bound)]
+    while d.shape[-1] > NLIMB + 1:
+        bound = (bound >> 128) * _C_INT + min(bound, (1 << 128) - 1)
+        d = _normalize_cols(_fold_cols(d, xp), xp)[..., :_ndigits(bound)]
+    if d.shape[-1] > NLIMB:
+        # 9 digits: two tail folds.  After the first the top digit is
+        # <= 1; after the second the value is < 2^128 (if the first fold
+        # overflowed 2^128 its low part was < 2^63, so +C cannot carry).
+        d = _normalize_cols(_fold_cols(d, xp), xp)[..., :NLIMB + 1]
+        d = _normalize_cols(_fold_cols(d, xp), xp)
+    d = d[..., :NLIMB]
+    if d.shape[-1] < NLIMB:
+        d = _place(d, 0, NLIMB, xp)
+    return _cond_sub_cols(d, xp)
+
+
 def _antidiag_cols(mat, offset, xp):
     """(..., 8, 8) -> list of 16 columns: col[k] += mat[..., i, k-i-offset].
 
@@ -244,16 +356,11 @@ def _antidiag_cols(mat, offset, xp):
 
 
 def _mul_xla(a, b, xp):
-    """JAX/XLA path: one outer product + anti-diagonal folds (compact
-    graph, pure uint32)."""
+    """JAX/XLA path: one outer product + columnar anti-diagonal sums and
+    carry-lookahead reduction (compact graph, pure uint32)."""
     outer = a[..., :, None] * b[..., None, :]      # (..., 8, 8) exact u32
-    lo = outer & LIMB_MASK
-    hi = outer >> 16
-    cols_lo = _antidiag_cols(lo, 0, xp)
-    cols_hi = _antidiag_cols(hi, 1, xp)
-    cols = [l + h for l, h in zip(cols_lo, cols_hi)]
-    limbs, carry = _carry_propagate(cols, xp)
-    return _reduce_wide(limbs + [carry], xp)
+    cols = _antidiag16(outer & LIMB_MASK, outer >> 16, xp)
+    return _reduce_cols_xla(cols, xp, (f128.P - 1) ** 2)
 
 
 def mul(a, b, xp):
@@ -323,37 +430,10 @@ def _reduce_wide(wide_limbs, xp):
     """
     if xp is _np:
         return _reduce_wide_numpy(wide_limbs)
-    limbs = list(wide_limbs)
-    while len(limbs) > NLIMB + 1:
-        lo = limbs[:NLIMB]
-        hi = limbs[NLIMB:]
-        cols = _mul_by_c(hi, xp)           # len(hi) + 3 columns
-        if len(cols) < NLIMB:
-            cols = cols + [xp.zeros_like(cols[0])] * (NLIMB - len(cols))
-        for i in range(NLIMB):
-            cols[i] = cols[i] + lo[i]
-        limbs, carry = _carry_propagate(cols, xp)
-        # value shrank by ~82 bits; carry folds into one extra limb
-        limbs.append(carry & LIMB_MASK)
-
-    # <= 9 limbs now; final fold of the tiny top limb
-    if len(limbs) > NLIMB:
-        lo = limbs[:NLIMB]
-        hi = limbs[NLIMB:]
-        cols = _mul_by_c(hi, xp)
-        cols = cols + [xp.zeros_like(cols[0])] * (NLIMB - len(cols))
-        for i in range(NLIMB):
-            cols[i] = cols[i] + lo[i]
-        limbs, carry = _carry_propagate(cols, xp)
-        limbs = limbs[:NLIMB]
-        # carry in {0,1}: one more fold via +carry*C
-        c = ([carry * xp.uint32(v) for v in C_LIMBS]
-             + [xp.zeros_like(carry)] * (NLIMB - 3))
-        cols = [x + y for x, y in zip(limbs, c)]
-        limbs, _ = _carry_propagate(cols, xp)
-
-    limbs = _cond_sub_p(limbs[:NLIMB], xp)
-    return _join(limbs, xp)
+    K = len(wide_limbs)
+    cols = xp.stack(wide_limbs, axis=-1)
+    bound = sum(((1 << 32) - 1) << (16 * k) for k in range(K))
+    return _reduce_cols_xla(cols, xp, bound)
 
 
 def sqr(a, xp):
@@ -379,11 +459,8 @@ def dot(a, b, xp):
     outer = a[..., :, None] * b[..., None, :]      # (..., J, 8, 8) u32
     lo = xp.sum(outer & LIMB_MASK, axis=-3, dtype=xp.uint32)
     hi = xp.sum(outer >> 16, axis=-3, dtype=xp.uint32)
-    cols_lo = _antidiag_cols(lo, 0, xp)
-    cols_hi = _antidiag_cols(hi, 1, xp)
-    cols = [l + h for l, h in zip(cols_lo, cols_hi)]
-    limbs, carry = _carry_propagate(cols, xp)
-    return _reduce_wide(limbs + [carry], xp)
+    cols = _antidiag16(lo, hi, xp)
+    return _reduce_cols_xla(cols, xp, J * (f128.P - 1) ** 2)
 
 
 def mul_small(a, k, xp):

@@ -40,13 +40,20 @@ class ProveError(Exception):
 def _xp():
     """Array namespace for the device compute path.
 
-    ZKL_DEVICE=jax routes the limb math through jax.numpy (TPU);
-    default numpy (host).
+    ZKL_DEVICE=eager routes the limb math through jax.numpy op-by-op;
+    default numpy (host).  ZKL_DEVICE=jax selects the jit-staged device
+    prover (stark_device.prove_trace_device) instead — see _device_mode.
     """
-    if os.environ.get("ZKL_DEVICE", "").lower() == "jax":
+    if os.environ.get("ZKL_DEVICE", "").lower() == "eager":
         import jax.numpy as jnp
         return jnp
     return _np
+
+
+def _device_mode() -> bool:
+    """True when segments should be proved with the jit-staged prover
+    (compiled once per segment shape; proofs byte-identical to host)."""
+    return os.environ.get("ZKL_DEVICE", "").lower() in ("jax", "tpu")
 
 
 def prove_program(program: Program, pub_inputs: pi_mod.PublicInputs,
@@ -157,7 +164,11 @@ def prove_segment(suite_id: bytes, rom_acc: Tuple[int, int, int],
             raise ProveError(f"preflight violations: {violations[:3]}")
 
     meta = StepMeta.from_env(trace.length, wf_opts, min_bits, pi_len)
-    inner = stark.prove_trace(trace, air, air_pi, wf_opts, _xp())
+    if _device_mode():
+        from .stark_device import prove_trace_device
+        inner = prove_trace_device(trace, air, air_pi, wf_opts)
+    else:
+        inner = stark.prove_trace(trace, air, air_pi, wf_opts, _xp())
 
     boundary = dict(
         pc_init=f128.fe_to_bytes_fold(boundaries.pc_init),
