@@ -894,18 +894,18 @@ class ZkLispAir:
         vals.append(Felt(1 if row == self.trace_len - 1 else 0))
         return vals
 
-    def periodic_lde(self, blowup: int, xp):
-        """All periodic columns evaluated over the LDE domain (FVecs)."""
-        from ..field import limb, ntt
-        from ..field.felt import FVec
+    def periodic_lde_period(self, blowup: int) -> List[List[int]]:
+        """One period (cycle*blowup values) of each of the 31 cycle-32
+        selector columns over the LDE domain, as host ints.  The 32nd
+        periodic column (p_last) is full-domain — see _p_last_lde."""
+        from ..field import ntt
         n = self.trace_len
-        N = n * blowup
         cycle = STEPS_PER_LEVEL_P2
         pat = self.periodic_pattern()
 
         period = cycle * blowup
         g32 = f128.get_root_of_unity(cycle)
-        wN = f128.get_root_of_unity(N)
+        wN = f128.get_root_of_unity(n * blowup)
         wy = pow(wN, n // cycle, P)
 
         ys = []
@@ -933,8 +933,17 @@ class ZkLispAir:
                             acc = (acc + (ypow32[idx] - 1) * gp
                                    % P * inv_cache[den]) % P
                 vals.append(acc)
-            out.append(FVec.from_ints(vals * (N // period), xp))
+            out.append(vals)
+        return out
 
+    def periodic_lde(self, blowup: int, xp):
+        """All periodic columns evaluated over the LDE domain (FVecs)."""
+        from ..field.felt import FVec
+        n = self.trace_len
+        N = n * blowup
+        period = STEPS_PER_LEVEL_P2 * blowup
+        out = [FVec.from_ints(vals * (N // period), xp)
+               for vals in self.periodic_lde_period(blowup)]
         out.append(_p_last_lde(n, blowup, xp))
         return out
 

@@ -140,16 +140,23 @@ def collect_generic(air: ZkLispAir, cur, nxt, periodic):
 # ---------------------------------------------------------------------------
 
 def eval_scan_blocks(air: ZkLispAir, cur, nxt, periodic, alphas_arr,
-                     specs, xp) -> Optional[FVec]:
+                     specs, xp, gates=None) -> Optional[FVec]:
     """Sum of the Poseidon/ROM round-constraint contributions, each
-    combined with its alpha slice under lax.scan."""
+    combined with its alpha slice under lax.scan.
+
+    `gates` optionally supplies the 27 round-gate columns as a
+    (27, period, 8) array of ONE period each (memory-lean device path);
+    by default they are taken full-length from `periodic`."""
+    if gates is None:
+        gates = xp.stack([periodic[1 + j].a
+                          for j in range(POSEIDON_ROUNDS)])
     acc = None
     for kind, ix in specs:
         if kind == "poseidon":
-            term = _poseidon_scan(air, cur, nxt, periodic, alphas_arr,
+            term = _poseidon_scan(air, cur, nxt, gates, alphas_arr,
                                   ix, xp)
         else:
-            term = _rom_scan(air, cur, nxt, periodic, alphas_arr, ix, xp)
+            term = _rom_scan(air, cur, nxt, gates, alphas_arr, ix, xp)
         acc = term if acc is None else acc + term
     return acc
 
@@ -157,10 +164,19 @@ def eval_scan_blocks(air: ZkLispAir, cur, nxt, periodic, alphas_arr,
 def _scan_rounds(lanes_cur, lanes_nxt, gate, gr, mds, rc, a_round,
                  n_lanes, xp):
     """Shared 27-round scan: sum_j sum_i a[j,i] * gate_j * (nxt_i - y_ji)
-    where y = MDS * cur^3 + rc_j."""
+    where y = MDS * cur^3 + rc_j.  gr is (27, period, 8) with period
+    dividing N; each round's gate is tiled inside the body."""
     import jax
+    N = lanes_cur.shape[1]
+    reps = N // gr.shape[1]
     s2 = limb.mul(lanes_cur, lanes_cur, xp)
     s3 = limb.mul(s2, lanes_cur, xp)                # (L, N, 8)
+
+    def tile(col):
+        if reps == 1:
+            return col
+        return xp.broadcast_to(
+            col[None], (reps,) + col.shape).reshape(N, limb.NLIMB)
 
     def body(acc_a, inputs):
         gr_j, rc_j, al_j = inputs
@@ -168,7 +184,8 @@ def _scan_rounds(lanes_cur, lanes_nxt, gate, gr, mds, rc, a_round,
                      xp.transpose(s3, (1, 0, 2))[None], xp)   # (L, N, 8)
         y = limb.add(y, rc_j[:, None, :], xp)
         diff = limb.sub(lanes_nxt, y, xp)
-        g = limb.mul(gate, gr_j, xp) if gate is not None else gr_j
+        gr_full = tile(gr_j)
+        g = limb.mul(gate, gr_full, xp) if gate is not None else gr_full
         gated = limb.mul(diff, g[None], xp)
         term = limb.dot(xp.transpose(gated, (1, 0, 2)),
                         xp.broadcast_to(
@@ -186,30 +203,29 @@ def _scan_rounds(lanes_cur, lanes_nxt, gate, gr, mds, rc, a_round,
     return FVec(acc_a, xp)
 
 
-def _poseidon_scan(air, cur, nxt, periodic, alphas_arr, ix, xp) -> FVec:
+def _poseidon_scan(air, cur, nxt, gates, alphas_arr, ix, xp) -> FVec:
     c = air.cols
     lanes_cur = xp.stack([cur[c.lane_index(i)].a for i in range(12)])
     lanes_nxt = xp.stack([nxt[c.lane_index(i)].a for i in range(12)])
     pa = cur[c.pose_active].a
-    gr = xp.stack([periodic[1 + j].a for j in range(POSEIDON_ROUNDS)])
     mds = xp.asarray(limb.from_ints(air.poseidon_mds))
     rc = xp.asarray(limb.from_ints(air.poseidon_rc))
     a_round = alphas_arr[ix:ix + POSEIDON_ROUNDS * 12].reshape(
         POSEIDON_ROUNDS, 12, limb.NLIMB)
-    return _scan_rounds(lanes_cur, lanes_nxt, pa, gr, mds, rc, a_round,
-                        12, xp)
+    return _scan_rounds(lanes_cur, lanes_nxt, pa, gates, mds, rc,
+                        a_round, 12, xp)
 
 
-def _rom_scan(air, cur, nxt, periodic, alphas_arr, ix, xp) -> FVec:
+def _rom_scan(air, cur, nxt, gates, alphas_arr, ix, xp) -> FVec:
     c = air.cols
     s_cur = xp.stack([cur[c.rom_s_index(i)].a for i in range(3)])
     s_nxt = xp.stack([nxt[c.rom_s_index(i)].a for i in range(3)])
-    gr = xp.stack([periodic[1 + j].a for j in range(POSEIDON_ROUNDS)])
     mds = xp.asarray(limb.from_ints(air.rom_mds))
     rc = xp.asarray(limb.from_ints(air.rom_rc))
     a_round = alphas_arr[ix:ix + POSEIDON_ROUNDS * 3].reshape(
         POSEIDON_ROUNDS, 3, limb.NLIMB)
-    return _scan_rounds(s_cur, s_nxt, None, gr, mds, rc, a_round, 3, xp)
+    return _scan_rounds(s_cur, s_nxt, None, gates, mds, rc, a_round,
+                        3, xp)
 
 
 # ---------------------------------------------------------------------------

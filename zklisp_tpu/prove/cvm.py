@@ -44,6 +44,7 @@ OP_ADD = 5
 OP_SUB = 6
 OP_MUL = 7
 OP_EMIT = 8
+OP_PUSH_PLAST = 9
 
 
 class Sym:
@@ -103,9 +104,14 @@ class Sym:
 
 
 def sym_leaves(width: int, n_periodic: int):
+    """Leaf nodes for recording.  The LAST periodic column (p_last, a
+    full-domain Lagrange selector) gets its own leaf kind — on device it
+    is a separate (N, 8) input while the other periodics are passed as
+    one-period tiles."""
     cur = [Sym("cur", k=i) for i in range(width)]
     nxt = [Sym("nxt", k=i) for i in range(width)]
-    per = [Sym("per", k=i) for i in range(n_periodic)]
+    per = [Sym("per", k=i) for i in range(n_periodic - 1)]
+    per.append(Sym("plast"))
     return cur, nxt, per
 
 
@@ -119,7 +125,8 @@ class CvmProgram:
     n_instr: int           # before padding
 
 
-_LEAF_OP = {"cur": OP_PUSH_CUR, "nxt": OP_PUSH_NXT, "per": OP_PUSH_PER}
+_LEAF_OP = {"cur": OP_PUSH_CUR, "nxt": OP_PUSH_NXT, "per": OP_PUSH_PER,
+            "plast": OP_PUSH_PLAST}
 _BIN_OP = {"add": OP_ADD, "sub": OP_SUB, "mul": OP_MUL}
 
 
@@ -182,14 +189,18 @@ def compile_constraints(roots: List[Tuple[Sym, int]],
 # ---------------------------------------------------------------------------
 
 @lru_cache(maxsize=None)
-def _exec_fn(w: int, n_per: int, N: int, S: int, I: int):
+def _exec_fn(w: int, n_perp: int, period: int, N: int, blowup: int,
+             S: int, I: int):
+    """Memory-lean executor: `nxt` columns are rolls of `lde` (never
+    materialized as a second (w, N, 8) array), short-periodic columns
+    are tiled from one period, p_last is its own (N, 8) input."""
     import jax
     import jax.numpy as jnp
+    reps = N // period
 
-    def fn(lde, nxt, per, alphas, ops, arg, imm, aidx):
+    def fn(lde, per_p, p_last, alphas, ops, arg, imm, aidx):
         stack0 = limb.zeros((S, N), jnp)
         acc0 = limb.zeros((N,), jnp)
-        zeroN = acc0
 
         def body(carry, x):
             stack, sp, acc = carry
@@ -203,11 +214,16 @@ def _exec_fn(w: int, n_per: int, N: int, S: int, I: int):
             def binop(v):
                 return stack.at[sp - 2].set(v), sp - 1, acc
 
+            def tile(col):
+                return jnp.broadcast_to(
+                    col[None], (reps, period, limb.NLIMB)
+                ).reshape(N, limb.NLIMB)
+
             branches = [
                 lambda: (stack, sp, acc),                       # NOP
                 lambda: push(lde[a]),                           # PUSH_CUR
-                lambda: push(nxt[a]),                           # PUSH_NXT
-                lambda: push(per[a]),                           # PUSH_PER
+                lambda: push(jnp.roll(lde[a], -blowup, axis=0)),
+                lambda: push(tile(per_p[a])),                   # PUSH_PER
                 lambda: push(jnp.broadcast_to(im[None],
                                               (N, limb.NLIMB))),
                 lambda: binop(limb.add(sec, top, jnp)),         # ADD
@@ -216,6 +232,7 @@ def _exec_fn(w: int, n_per: int, N: int, S: int, I: int):
                 lambda: (stack, sp - 1,                         # EMIT
                          limb.add(acc, limb.mul(
                              top, alphas[ai][None], jnp), jnp)),
+                lambda: push(p_last),                           # PUSH_PLAST
             ]
             stack, sp, acc = jax.lax.switch(op, branches)
             return (stack, sp, acc), None
@@ -228,21 +245,22 @@ def _exec_fn(w: int, n_per: int, N: int, S: int, I: int):
     return jax.jit(fn)
 
 
-def execute(prog: CvmProgram, lde, nxt, per, alphas):
+def execute(prog: CvmProgram, lde, per_p, p_last, alphas, blowup: int):
     """Run the bytecode on device: returns (N, 8) accumulated
     sum_i alpha_i * C_i over the evaluation domain."""
     import jax.numpy as jnp
     w, N = lde.shape[0], lde.shape[1]
-    n_per = per.shape[0]
-    fn = _exec_fn(w, n_per, N, prog.stack_size, prog.ops.shape[0])
-    return fn(lde, nxt, per, alphas,
+    fn = _exec_fn(w, per_p.shape[0], per_p.shape[1], N, blowup,
+                  prog.stack_size, prog.ops.shape[0])
+    return fn(lde, per_p, p_last, alphas,
               jnp.asarray(prog.ops), jnp.asarray(prog.arg),
               jnp.asarray(prog.imm), jnp.asarray(prog.aidx))
 
 
 def interpret(prog: CvmProgram, cur_rows, nxt_rows, per_rows,
               alphas: List[int]) -> int:
-    """Host reference interpreter over a single row (ints, for tests)."""
+    """Host reference interpreter over a single row (ints, for tests).
+    `per_rows` covers ALL periodic columns; the last entry is p_last."""
     stack: List[int] = []
     acc = 0
     n = prog.ops.shape[0]
@@ -258,6 +276,8 @@ def interpret(prog: CvmProgram, cur_rows, nxt_rows, per_rows,
             stack.append(nxt_rows[a])
         elif op == OP_PUSH_PER:
             stack.append(per_rows[a])
+        elif op == OP_PUSH_PLAST:
+            stack.append(per_rows[-1])
         elif op == OP_PUSH_CONST:
             stack.append(int(imm_ints[i]))
         elif op == OP_ADD:

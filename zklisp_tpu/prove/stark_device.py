@@ -2,46 +2,56 @@
 
 Produces byte-identical proofs to stark.prove_trace (asserted in tests);
 only the execution changes — every heavy phase is traced once per
-(program, segment-shape) configuration and dispatched as one XLA
-computation, so multi-segment programs compile once and stream segments:
+(program, segment-shape) configuration and dispatched as XLA
+computations, so multi-segment programs compile once and stream segments:
 
   stage 1  trace LDE + polys      (vmap'd iNTT + coset NTT)
-  stage 2  commitments            (batched Poseidon leaves + tree)
-  stage 3  composition + quotient (scan evaluator + boundary groups +
-                                   quotient split + quotient LDE)
+  stage 2  commitments            (row-chunked Poseidon leaves + tree)
+  stage 3  composition            (Poseidon/ROM lax.scan blocks +
+                                   constraint bytecode VM — see cvm.py)
+           quotient               (boundary groups + zerofier + split +
+                                   quotient LDE in one jit)
   stage 4  OOD evaluations        (chunked fused dots)
-  stage 5  DEEP                   (one fused linear combination)
+  stage 5  DEEP                   (row-chunked fused linear combination)
   stage 6  FRI folds              (one jit per depth, shape-cached)
 
 Fiat-Shamir, grinding, host inversions and query opening remain host-side
 (tiny); device->host transfers are roots, OOD scalars and opened rows.
+
+Memory design (16 GB chip, flagship 2^16 rows x 219 cols x blowup 16):
+the (w, N, 8) trace LDE (~7.3 GB) is the only full-size resident; `nxt`
+columns are rolls taken inside kernels, periodic selectors and cyclic
+assertion-group divisor inverses are passed as ONE period and tiled
+in-kernel, and row-major views for hashing/DEEP are produced in bounded
+chunks (<= 0.5 GB transient) instead of a full 7.3 GB transpose.
 """
 
 from __future__ import annotations
 
+import dataclasses
 from functools import lru_cache
 from typing import List
 
 import numpy as _np
 
-import dataclasses
-
-from ..air.zk_air import ZkLispAir
+from ..air.zk_air import ZkLispAir, _p_last_lde
 from ..crypto import poseidon as pos
+from ..crypto import poseidon_jax as pj
 from ..field import f128, limb, ntt
 from ..field.felt import FVec
-from . import cvm
+from . import cvm, kernels
 from .coin import RandomCoin
 from .commit import MerkleCommitment
 from .composition_device import collect_generic, eval_scan_blocks
 from .params import ProofOptions
 from .stark import (FriLayerOpenings, ProofContext, QueryOpenings,
-                    StarkProof, group_assertions, group_divisor_inv_lde,
-                    lde_points_host, transition_zerofier_inv_lde)
-from . import kernels
+                    StarkProof, group_assertions, lde_points_host,
+                    transition_zerofier_inv_lde)
+from ..trace.layout import STEPS_PER_LEVEL_P2
 
 P = f128.P
 OFFSET = ntt.DEFAULT_COSET_OFFSET
+ROW_CHUNK = 1 << 16          # bounds transient row-major buffers
 
 
 def _jnp():
@@ -52,6 +62,21 @@ def _jnp():
 def _to_host_ints(arr) -> List[int]:
     return [int(v) for v in limb.to_ints(_np.asarray(arr))]
 
+
+_STAGE_CACHE: dict = {}
+
+
+def _config_key(air: ZkLispAir, blowup: int):
+    # air_pi.to_elements() covers every public value baked into the traced
+    # graph as a constant (feature masks, commitments, rom/ram boundary
+    # values, main args).
+    return (air.trace_width, air.trace_len, blowup,
+            tuple(air.pub.to_elements()))
+
+
+# ---------------------------------------------------------------------------
+# stage 1: LDE
+# ---------------------------------------------------------------------------
 
 @lru_cache(maxsize=None)
 def _lde_polys_fn(n: int, blowup: int):
@@ -70,17 +95,59 @@ def _lde_polys_fn(n: int, blowup: int):
     return jax.jit(jax.vmap(one))
 
 
-_STAGE_CACHE: dict = {}
+# ---------------------------------------------------------------------------
+# stage 2: commitments (row-chunked)
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=None)
+def _leaf_chunk_fn(n_cols: int, partition_size: int, chunk: int):
+    import jax
+    jnp = _jnp()
+
+    def fn(block):                       # (C, chunk, 8) column-major
+        rows = jnp.transpose(block, (1, 0, 2))
+        return pj.hash_rows_partitioned(rows, partition_size, jnp)
+
+    return jax.jit(fn)
 
 
-def _config_key(air: ZkLispAir, groups, blowup: int):
-    # air_pi.to_elements() covers every public value baked into the traced
-    # graph as a constant (feature masks, commitments, rom/ram boundary
-    # values, main args); the group tuple covers assertion structure.
-    return (air.trace_width, air.trace_len, blowup,
-            tuple(air.pub.to_elements()),
-            tuple((g.column, g.value, g.offsets, g.step) for g in groups))
+def _commit_cols_device(cols_arr, partition_size: int) -> MerkleCommitment:
+    """Commit to the rows of a column-major (C, N, 8) array without ever
+    materializing the full row-major transpose."""
+    jnp = _jnp()
+    C, N = cols_arr.shape[0], cols_arr.shape[1]
+    chunk = min(ROW_CHUNK, N)
+    fn = _leaf_chunk_fn(C, partition_size, chunk)
+    parts = [fn(cols_arr[:, s:s + chunk]) for s in range(0, N, chunk)]
+    leaves = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+    levels = kernels.merkle_levels_fn(N)(leaves)
+    levels_h = [_np.asarray(lv) for lv in levels]
+    root_fe = int(limb.to_ints(levels_h[-1])[0])
+    return MerkleCommitment(levels_h, root_fe)
 
+
+def _commit_rows_device(rows, partition_size: int) -> MerkleCommitment:
+    """Commit to an already row-major (N, W, 8) array (small widths)."""
+    levels = kernels.commit_device(rows, partition_size)
+    levels_h = [_np.asarray(lv) for lv in levels]
+    root_fe = int(limb.to_ints(levels_h[-1])[0])
+    return MerkleCommitment(levels_h, root_fe)
+
+
+@lru_cache(maxsize=None)
+def _gather_rows_fn(n_cols: int, nq: int):
+    import jax
+    jnp = _jnp()
+
+    def fn(cols_arr, idx):
+        return jnp.transpose(cols_arr[:, idx], (1, 0, 2))   # (nq, C, 8)
+
+    return jax.jit(fn)
+
+
+# ---------------------------------------------------------------------------
+# stage 3: composition + quotient
+# ---------------------------------------------------------------------------
 
 def _record_cvm(air: ZkLispAir, n_periodic: int):
     """Record the generic constraints to cvm bytecode + scan specs
@@ -108,13 +175,12 @@ def _scan_blocks_fn(air: ZkLispAir, specs, blowup: int):
     jnp = _jnp()
     w = air.trace_width
 
-    def fn(lde, nxt_arr, periodic_stack, alphas_arr):
+    def fn(lde, gates_p, alphas_arr):
         cur = [FVec(lde[c], jnp) for c in range(w)]
-        nxt = [FVec(nxt_arr[c], jnp) for c in range(w)]
-        periodic = [FVec(periodic_stack[i], jnp)
-                    for i in range(periodic_stack.shape[0])]
-        acc = eval_scan_blocks(air, cur, nxt, periodic, alphas_arr,
-                               specs, jnp)
+        nxt = [FVec(jnp.roll(lde[c], -blowup, axis=0), jnp)
+               for c in range(w)]
+        acc = eval_scan_blocks(air, cur, nxt, None, alphas_arr, specs,
+                               jnp, gates=gates_p)
         return acc.a
 
     f = jax.jit(fn)
@@ -123,25 +189,40 @@ def _scan_blocks_fn(air: ZkLispAir, specs, blowup: int):
 
 
 @lru_cache(maxsize=None)
-def _quotient_fn(n: int, blowup: int, Q: int, ngb: int):
-    """Boundary terms + zerofier + quotient split + quotient LDE; all
-    group data traced, so one compile serves every program with the
-    same (n, blowup, Q, group-bucket)."""
+def _quotient_fn(n: int, blowup: int, Q: int, ngc: int, ngs: int,
+                 dperiod: int):
+    """Boundary terms + zerofier + quotient split + quotient LDE; group
+    data is traced, so one compile serves every program with the same
+    (n, blowup, Q, group buckets)."""
     import jax
     jnp = _jnp()
     N = n * blowup
     pows_f = _np.asarray(ntt.powers_table(N.bit_length() - 1, _np))
-    ones = _np.asarray(limb.from_ints([1] * ngb))
 
-    def fn(comb, group_cols, g_values, divinvs, betas, zinv):
+    def gsum(terms, ng):
+        # terms (ng, N, 8) -> sum over ng
+        ones = jnp.asarray(_np.asarray(limb.from_ints([1] * ng)))
+        return limb.dot(jnp.transpose(terms, (1, 0, 2)),
+                        jnp.broadcast_to(ones[None],
+                                         (N, ng, limb.NLIMB)), jnp)
+
+    def fn(comb, lde, cyc_idx, cyc_vals, cyc_divp, cyc_betas,
+           sgl_idx, sgl_vals, sgl_div, sgl_betas, zinv):
         comp = limb.mul(comb, zinv, jnp)
-        numer = limb.sub(group_cols, g_values[:, None], jnp)  # (ngb,N,8)
-        terms = limb.mul(limb.mul(numer, divinvs, jnp),
-                         betas[:, None], jnp)
-        bsum = limb.dot(jnp.transpose(terms, (1, 0, 2)),
-                        jnp.broadcast_to(jnp.asarray(ones)[None],
-                                         (N, ngb, limb.NLIMB)), jnp)
-        comp = limb.add(comp, bsum, jnp)
+        if ngc:
+            cols = lde[cyc_idx]                          # (ngc, N, 8)
+            numer = limb.sub(cols, cyc_vals[:, None], jnp)
+            resh = numer.reshape(ngc, N // dperiod, dperiod, limb.NLIMB)
+            scaled = limb.mul(resh, cyc_divp[:, None], jnp)
+            scaled = limb.mul(scaled, cyc_betas[:, None, None], jnp)
+            comp = limb.add(
+                comp, gsum(scaled.reshape(ngc, N, limb.NLIMB), ngc), jnp)
+        if ngs:
+            cols = lde[sgl_idx]
+            numer = limb.sub(cols, sgl_vals[:, None], jnp)
+            scaled = limb.mul(limb.mul(numer, sgl_div, jnp),
+                              sgl_betas[:, None], jnp)
+            comp = limb.add(comp, gsum(scaled, ngs), jnp)
         coeffs = ntt.coset_interpolate(comp, blowup, jnp)
         q_polys = coeffs[:Q * n].reshape(Q, n, limb.NLIMB)
         q_lde = jax.vmap(lambda p_: ntt.coset_evaluate(
@@ -154,6 +235,69 @@ def _quotient_fn(n: int, blowup: int, Q: int, ngb: int):
 def _bucket(x: int, step: int = 8) -> int:
     return max(step, ((x + step - 1) // step) * step)
 
+
+def _host_tables(air: ZkLispAir, groups, blowup: int):
+    """Config-constant host tables: one-period periodic selectors,
+    p_last, zerofier inverse, and divisor inverses (cyclic groups as one
+    period; singles full-length).  Cached per configuration."""
+    key = (("tables",) + _config_key(air, blowup)
+           + (tuple((g.column, g.value, g.offsets, g.step)
+                    for g in groups),))
+    if key in _STAGE_CACHE:
+        return _STAGE_CACHE[key]
+    n = air.trace_len
+    N = n * blowup
+    cycle = STEPS_PER_LEVEL_P2
+    dperiod = cycle * blowup
+
+    per_p = _np.asarray(limb.from_ints(air.periodic_lde_period(blowup)))
+    p_last = _p_last_lde(n, blowup, _np).a
+    zinv = transition_zerofier_inv_lde(n, blowup, _np).a
+
+    cyc = [g for g in groups if not g.is_single]
+    sgl = [g for g in groups if g.is_single]
+    g = f128.get_root_of_unity(n)
+    wN = f128.get_root_of_unity(N)
+    k = n // cycle
+
+    cyc_divp = []
+    if cyc:
+        xk_vals = []
+        cur = pow(OFFSET, k, P)
+        wk = pow(wN, k, P)
+        for _ in range(dperiod):
+            xk_vals.append(cur)
+            cur = f128.mul(cur, wk)
+        flat = []
+        for grp in cyc:
+            roots = [pow(g, o * k, P) for o in grp.offsets]
+            for xv in xk_vals:
+                prod = 1
+                for r in roots:
+                    prod = prod * ((xv - r) % P) % P
+                flat.append(prod)
+        inv_flat = f128.batch_inv(flat)
+        cyc_divp = [inv_flat[i * dperiod:(i + 1) * dperiod]
+                    for i in range(len(cyc))]
+
+    sgl_div = []
+    if sgl:
+        xs = lde_points_host(n, blowup)
+        flat = []
+        for grp in sgl:
+            gs = pow(g, grp.step, P)
+            flat.extend((x - gs) % P for x in xs)
+        inv_flat = f128.batch_inv(flat)
+        sgl_div = [inv_flat[i * N:(i + 1) * N] for i in range(len(sgl))]
+
+    out = (per_p, p_last, zinv, cyc, cyc_divp, sgl, sgl_div, dperiod)
+    _STAGE_CACHE[key] = out
+    return out
+
+
+# ---------------------------------------------------------------------------
+# stage 4: OOD
+# ---------------------------------------------------------------------------
 
 @lru_cache(maxsize=None)
 def _ood_fn(n_cols: int, n: int):
@@ -180,23 +324,31 @@ def _ood_fn(n_cols: int, n: int):
     return jax.jit(fn)
 
 
+# ---------------------------------------------------------------------------
+# stage 5: DEEP (row-chunked)
+# ---------------------------------------------------------------------------
+
 @lru_cache(maxsize=None)
-def _deep_fn(w: int, Q: int, N: int):
+def _deep_chunk_fn(w: int, Q: int, chunk: int):
     import jax
     jnp = _jnp()
 
-    def fn(trace_lde, q_lde, coeffs, gz, gzg, inv_xz, inv_xzg):
-        # trace_lde (w,N,8), q_lde (Q,N,8), coeffs (w+Q,8)
-        allc = jnp.concatenate([trace_lde, q_lde], axis=0)   # (w+Q,N,8)
-        stacked = jnp.transpose(allc, (1, 0, 2))             # (N,w+Q,8)
+    def fn(lde_blk, q_blk, coeffs, gz, gzg, inv_xz_blk, inv_xzg_blk):
+        # lde_blk (w, chunk, 8), q_blk (Q, chunk, 8), coeffs (w+Q, 8)
+        allc = jnp.concatenate([lde_blk, q_blk], axis=0)
+        stacked = jnp.transpose(allc, (1, 0, 2))         # (chunk, w+Q, 8)
         gt = limb.dot(stacked, jnp.broadcast_to(
-            coeffs[None], (N, w + Q, limb.NLIMB)), jnp)      # (N,8)
-        t1 = limb.mul(limb.sub(gt, gz[None], jnp), inv_xz, jnp)
-        t2 = limb.mul(limb.sub(gt, gzg[None], jnp), inv_xzg, jnp)
+            coeffs[None], (chunk, w + Q, limb.NLIMB)), jnp)
+        t1 = limb.mul(limb.sub(gt, gz[None], jnp), inv_xz_blk, jnp)
+        t2 = limb.mul(limb.sub(gt, gzg[None], jnp), inv_xzg_blk, jnp)
         return limb.add(t1, t2, jnp)
 
     return jax.jit(fn)
 
+
+# ---------------------------------------------------------------------------
+# stage 6: FRI
+# ---------------------------------------------------------------------------
 
 @lru_cache(maxsize=None)
 def _fold_fn(size: int):
@@ -213,30 +365,6 @@ def _fold_fn(size: int):
         return limb.mul(limb.sub(num1, num2, jnp), inv_2x0, jnp)
 
     return jax.jit(fn)
-
-
-def _host_tables(air: ZkLispAir, groups, blowup: int):
-    """Periodic LDE stack, zerofier inverse, divisor inverses (host np;
-    cached per configuration)."""
-    key = ("tables",) + _config_key(air, groups, blowup)
-    if key in _STAGE_CACHE:
-        return _STAGE_CACHE[key]
-    n = air.trace_len
-    periodic_stack = _np.stack(
-        [p.a for p in air.periodic_lde(blowup, _np)])
-    zinv = transition_zerofier_inv_lde(n, blowup, _np).a
-    divinvs = _np.stack(
-        [d.a for d in group_divisor_inv_lde(groups, n, blowup, _np)])
-    out = (periodic_stack, zinv, divinvs)
-    _STAGE_CACHE[key] = out
-    return out
-
-
-def _commit_device(rows, partition_size: int) -> MerkleCommitment:
-    levels = kernels.commit_device(rows, partition_size)
-    levels_h = [_np.asarray(lv) for lv in levels]
-    root_fe = int(limb.to_ints(levels_h[-1])[0])
-    return MerkleCommitment(levels_h, root_fe)
 
 
 @lru_cache(maxsize=None)
@@ -257,9 +385,12 @@ def _x0_tables(size: int):
     return limb.from_ints(x0s), limb.from_ints(invs)
 
 
+# ---------------------------------------------------------------------------
+# the prover
+# ---------------------------------------------------------------------------
+
 def prove_trace_device(trace, air: ZkLispAir, air_pi,
                        options: ProofOptions) -> StarkProof:
-    import jax
     jnp = _jnp()
     n = trace.length
     w = trace.width
@@ -274,8 +405,7 @@ def prove_trace_device(trace, air: ZkLispAir, air_pi,
 
     # stage 2: trace commitment
     ps_main = options.partition_size(w)
-    rows = jnp.transpose(trace_lde, (1, 0, 2))
-    trace_comm = _commit_device(rows, ps_main)
+    trace_comm = _commit_cols_device(trace_lde, ps_main)
 
     coin = RandomCoin(context.to_elements() + air_pi.to_elements())
     coin.reseed(trace_comm.root)
@@ -284,45 +414,61 @@ def prove_trace_device(trace, air: ZkLispAir, air_pi,
     alphas = coin.draw_many(air.num_transition_constraints())
     betas = coin.draw_many(len(groups))
 
-    # config-constant tables, built host-side once and shipped to device
-    periodic_h, zinv_h, divinvs_h = _host_tables(air, groups, blowup)
-    periodic_dev = jnp.asarray(periodic_h)
+    (per_p, p_last, zinv, cyc, cyc_divp, sgl, sgl_div, dperiod) = \
+        _host_tables(air, groups, blowup)
+    gates_p = jnp.asarray(per_p[1:1 + 27])
+    p_last_dev = jnp.asarray(p_last)
     alphas_dev = jnp.asarray(limb.from_ints(alphas))
 
-    # stage 3: composition = scan blocks + bytecode VM + quotient jit
-    prog_cvm, specs = _record_cvm(air, periodic_h.shape[0])
-    nxt_arr = jnp.roll(trace_lde, -blowup, axis=1)
+    # stage 3: composition = scan blocks + bytecode VM
+    prog_cvm, specs = _record_cvm(air, per_p.shape[0] + 1)
     if specs:
         acc_scan = _scan_blocks_fn(air, specs, blowup)(
-            trace_lde, nxt_arr, periodic_dev, alphas_dev)
+            trace_lde, gates_p, alphas_dev)
     else:
         acc_scan = None
     if prog_cvm.n_instr:
-        acc_gen = cvm.execute(prog_cvm, trace_lde, nxt_arr, periodic_dev,
-                              alphas_dev)
+        acc_gen = cvm.execute(prog_cvm, trace_lde, jnp.asarray(per_p),
+                              p_last_dev, alphas_dev, blowup)
         comb = (acc_gen if acc_scan is None
                 else limb.add(acc_scan, acc_gen, jnp))
     else:
         comb = acc_scan
 
-    ng = len(groups)
-    ngb = _bucket(ng)
-    cols_idx = _np.asarray([g.column for g in groups]
-                           + [0] * (ngb - ng), dtype=_np.int32)
-    group_cols = trace_lde[jnp.asarray(cols_idx)]
-    g_vals = _np.zeros((ngb, limb.NLIMB), dtype=_np.uint32)
-    g_vals[:ng] = limb.from_ints([g.value for g in groups])
-    betas_pad = _np.zeros((ngb, limb.NLIMB), dtype=_np.uint32)
-    betas_pad[:ng] = limb.from_ints(betas)
-    div_pad = _np.zeros((ngb, N, limb.NLIMB), dtype=_np.uint32)
-    div_pad[:ng] = divinvs_h
-    q_polys, q_lde = _quotient_fn(n, blowup, Q, ngb)(
-        comb, group_cols, jnp.asarray(g_vals), jnp.asarray(div_pad),
-        jnp.asarray(betas_pad), jnp.asarray(zinv_h))
+    # boundary + quotient
+    beta_of = {id(g): b for g, b in zip(groups, betas)}
+    ngc, ngs = _bucket(len(cyc)), (_bucket(len(sgl)) if sgl else 0)
+
+    def pad_vals(ints, nb):
+        out = _np.zeros((nb, limb.NLIMB), dtype=_np.uint32)
+        if ints:
+            out[:len(ints)] = limb.from_ints(ints)
+        return jnp.asarray(out)
+
+    cyc_idx = _np.zeros(ngc, dtype=_np.int32)
+    cyc_idx[:len(cyc)] = [g.column for g in cyc]
+    cyc_divp_a = _np.zeros((ngc, dperiod, limb.NLIMB), dtype=_np.uint32)
+    if cyc:
+        cyc_divp_a[:len(cyc)] = _np.asarray(limb.from_ints(cyc_divp))
+    sgl_idx = _np.zeros(max(ngs, 1), dtype=_np.int32)
+    sgl_div_a = _np.zeros((max(ngs, 1), N, limb.NLIMB), dtype=_np.uint32)
+    if sgl:
+        sgl_idx[:len(sgl)] = [g.column for g in sgl]
+        sgl_div_a[:len(sgl)] = _np.asarray(limb.from_ints(sgl_div))
+
+    q_polys, q_lde = _quotient_fn(n, blowup, Q, ngc, ngs, dperiod)(
+        comb, trace_lde,
+        jnp.asarray(cyc_idx), pad_vals([g.value for g in cyc], ngc),
+        jnp.asarray(cyc_divp_a),
+        pad_vals([beta_of[id(g)] for g in cyc], ngc),
+        jnp.asarray(sgl_idx), pad_vals([g.value for g in sgl],
+                                       max(ngs, 1)),
+        jnp.asarray(sgl_div_a),
+        pad_vals([beta_of[id(g)] for g in sgl], max(ngs, 1)),
+        jnp.asarray(zinv))
 
     ps_con = options.partition_size(Q)
-    q_rows = jnp.transpose(q_lde, (1, 0, 2))
-    constraint_comm = _commit_device(q_rows, ps_con)
+    constraint_comm = _commit_cols_device(q_lde, ps_con)
     coin.reseed(constraint_comm.root)
 
     # stage 4: OOD
@@ -337,22 +483,20 @@ def prove_trace_device(trace, air: ZkLispAir, air_pi,
             cur = f128.mul(cur, zz)
         return jnp.asarray(limb.from_ints(out))
 
-    ood_fn_t = _ood_fn(w, n)
-    ood_fn_q = _ood_fn(Q, n)
     zp, zgp = zpows(z), zpows(zg)
-    ood_t_cur = _to_host_ints(ood_fn_t(trace_polys, zp))
-    ood_t_next = _to_host_ints(ood_fn_t(trace_polys, zgp))
-    ood_q_cur = _to_host_ints(ood_fn_q(q_polys, zp))
-    ood_q_next = _to_host_ints(ood_fn_q(q_polys, zgp))
+    ood_t_cur = _to_host_ints(_ood_fn(w, n)(trace_polys, zp))
+    ood_t_next = _to_host_ints(_ood_fn(w, n)(trace_polys, zgp))
+    ood_q_cur = _to_host_ints(_ood_fn(Q, n)(q_polys, zp))
+    ood_q_next = _to_host_ints(_ood_fn(Q, n)(q_polys, zgp))
     ood_evals = ood_t_cur + ood_q_cur + ood_t_next + ood_q_next
     coin.reseed(pos.hash_elements(ood_evals))
 
     # stage 5: DEEP
     gammas = coin.draw_many(w)
     deltas = coin.draw_many(Q)
-    gz = sum(g * t for g, t in zip(gammas, ood_t_cur)) % P
+    gz = sum(g_ * t for g_, t in zip(gammas, ood_t_cur)) % P
     gz = (gz + sum(d * q for d, q in zip(deltas, ood_q_cur))) % P
-    gzg = sum(g * t for g, t in zip(gammas, ood_t_next)) % P
+    gzg = sum(g_ * t for g_, t in zip(gammas, ood_t_next)) % P
     gzg = (gzg + sum(d * q for d, q in zip(deltas, ood_q_next))) % P
 
     xs_int = lde_points_host(n, blowup)
@@ -361,10 +505,17 @@ def prove_trace_device(trace, air: ZkLispAir, air_pi,
     inv_xzg = jnp.asarray(limb.from_ints(
         f128.batch_inv([(x - zg) % P for x in xs_int])))
     coeffs = jnp.asarray(limb.from_ints(gammas + deltas))
-    deep = _deep_fn(w, Q, N)(
-        trace_lde, q_lde, coeffs,
-        jnp.asarray(limb.from_ints([gz]))[0],
-        jnp.asarray(limb.from_ints([gzg]))[0], inv_xz, inv_xzg)
+    gz_dev = jnp.asarray(limb.from_ints([gz]))[0]
+    gzg_dev = jnp.asarray(limb.from_ints([gzg]))[0]
+
+    chunk = min(ROW_CHUNK, N)
+    dfn = _deep_chunk_fn(w, Q, chunk)
+    deep_parts = [
+        dfn(trace_lde[:, s:s + chunk], q_lde[:, s:s + chunk], coeffs,
+            gz_dev, gzg_dev, inv_xz[s:s + chunk], inv_xzg[s:s + chunk])
+        for s in range(0, N, chunk)]
+    deep = (deep_parts[0] if len(deep_parts) == 1
+            else jnp.concatenate(deep_parts))
 
     # stage 6: FRI
     num_layers = options.num_fri_layers(N)
@@ -375,7 +526,7 @@ def prove_trace_device(trace, air: ZkLispAir, air_pi,
     for d in range(num_layers):
         half = size // 2
         pair_rows = jnp.stack([layer[:half], layer[half:]], axis=1)
-        comm = _commit_device(pair_rows, 2)
+        comm = _commit_rows_device(pair_rows, 2)
         fri_comms.append(comm)
         fri_layers_vals.append(_np.asarray(layer))
         coin.reseed(comm.root)
@@ -399,19 +550,22 @@ def prove_trace_device(trace, air: ZkLispAir, air_pi,
     positions = sorted(set(coin.draw_integers(
         options.num_queries, N, pow_nonce)))
 
-    # openings
-    rows_host = _np.asarray(rows)
-    q_rows_host = _np.asarray(q_rows)
+    # openings: gather opened rows on device (no full row-major copy)
+    idx_dev = jnp.asarray(_np.asarray(positions, dtype=_np.int32))
+    t_rows = _np.asarray(_gather_rows_fn(w, len(positions))(
+        trace_lde, idx_dev))
+    q_rows = _np.asarray(_gather_rows_fn(Q, len(positions))(
+        q_lde, idx_dev))
 
-    def open_rows(comm: MerkleCommitment, mat_rows, idxs) -> QueryOpenings:
+    def open_rows(comm: MerkleCommitment, rows_h, idxs) -> QueryOpenings:
         out_rows, out_paths = [], []
-        for p_ in idxs:
-            out_rows.append([int(v) for v in limb.to_ints(mat_rows[p_])])
+        for j, p_ in enumerate(idxs):
+            out_rows.append([int(v) for v in limb.to_ints(rows_h[j])])
             out_paths.append(comm.open(p_))
         return QueryOpenings(out_rows, out_paths)
 
-    trace_open = open_rows(trace_comm, rows_host, positions)
-    constraint_open = open_rows(constraint_comm, q_rows_host, positions)
+    trace_open = open_rows(trace_comm, t_rows, positions)
+    constraint_open = open_rows(constraint_comm, q_rows, positions)
 
     fri_open: List[FriLayerOpenings] = []
     pos_d = positions
