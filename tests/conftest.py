@@ -18,3 +18,10 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent XLA compile cache: device-prover stage compiles survive
+# test-process restarts (cuts repeat runs of the staged-prover tests
+# from ~20 min to seconds of tracing).
+from zklisp_tpu.utils import jitcache  # noqa: E402
+
+jitcache.enable()

@@ -53,7 +53,11 @@ def _xp():
 def _device_mode() -> bool:
     """True when segments should be proved with the jit-staged prover
     (compiled once per segment shape; proofs byte-identical to host)."""
-    return os.environ.get("ZKL_DEVICE", "").lower() in ("jax", "tpu")
+    on = os.environ.get("ZKL_DEVICE", "").lower() in ("jax", "tpu")
+    if on:
+        from ..utils import jitcache
+        jitcache.enable()
+    return on
 
 
 def prove_program(program: Program, pub_inputs: pi_mod.PublicInputs,

@@ -254,8 +254,10 @@ def _host_tables(air: ZkLispAir, groups, blowup: int):
     p_last = _p_last_lde(n, blowup, _np).a
     zinv = transition_zerofier_inv_lde(n, blowup, _np).a
 
-    cyc = [g for g in groups if not g.is_single]
-    sgl = [g for g in groups if g.is_single]
+    cyc_pos = [i for i, g in enumerate(groups) if not g.is_single]
+    sgl_pos = [i for i, g in enumerate(groups) if g.is_single]
+    cyc = [groups[i] for i in cyc_pos]
+    sgl = [groups[i] for i in sgl_pos]
     g = f128.get_root_of_unity(n)
     wN = f128.get_root_of_unity(N)
     k = n // cycle
@@ -290,7 +292,8 @@ def _host_tables(air: ZkLispAir, groups, blowup: int):
         inv_flat = f128.batch_inv(flat)
         sgl_div = [inv_flat[i * N:(i + 1) * N] for i in range(len(sgl))]
 
-    out = (per_p, p_last, zinv, cyc, cyc_divp, sgl, sgl_div, dperiod)
+    out = (per_p, p_last, zinv, cyc_pos, cyc_divp, sgl_pos, sgl_div,
+           dperiod)
     _STAGE_CACHE[key] = out
     return out
 
@@ -414,8 +417,10 @@ def prove_trace_device(trace, air: ZkLispAir, air_pi,
     alphas = coin.draw_many(air.num_transition_constraints())
     betas = coin.draw_many(len(groups))
 
-    (per_p, p_last, zinv, cyc, cyc_divp, sgl, sgl_div, dperiod) = \
-        _host_tables(air, groups, blowup)
+    (per_p, p_last, zinv, cyc_pos, cyc_divp, sgl_pos, sgl_div,
+     dperiod) = _host_tables(air, groups, blowup)
+    cyc = [groups[i] for i in cyc_pos]
+    sgl = [groups[i] for i in sgl_pos]
     gates_p = jnp.asarray(per_p[1:1 + 27])
     p_last_dev = jnp.asarray(p_last)
     alphas_dev = jnp.asarray(limb.from_ints(alphas))
@@ -436,7 +441,8 @@ def prove_trace_device(trace, air: ZkLispAir, air_pi,
         comb = acc_scan
 
     # boundary + quotient
-    beta_of = {id(g): b for g, b in zip(groups, betas)}
+    cyc_betas = [betas[i] for i in cyc_pos]
+    sgl_betas = [betas[i] for i in sgl_pos]
     ngc, ngs = _bucket(len(cyc)), (_bucket(len(sgl)) if sgl else 0)
 
     def pad_vals(ints, nb):
@@ -460,11 +466,11 @@ def prove_trace_device(trace, air: ZkLispAir, air_pi,
         comb, trace_lde,
         jnp.asarray(cyc_idx), pad_vals([g.value for g in cyc], ngc),
         jnp.asarray(cyc_divp_a),
-        pad_vals([beta_of[id(g)] for g in cyc], ngc),
+        pad_vals(cyc_betas, ngc),
         jnp.asarray(sgl_idx), pad_vals([g.value for g in sgl],
                                        max(ngs, 1)),
         jnp.asarray(sgl_div_a),
-        pad_vals([beta_of[id(g)] for g in sgl], max(ngs, 1)),
+        pad_vals(sgl_betas, max(ngs, 1)),
         jnp.asarray(zinv))
 
     ps_con = options.partition_size(Q)
