@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""End-to-end prove benchmark: 2^16-row trace on one chip (north star).
+
+Builds a fib-chain program sized to a 65536-row trace (2048 ops), proves
+all 16 default segments with the jit-staged device prover, aggregates,
+and prints per-phase wall times plus proved-rows/s.
+
+Usage: ZKL_DEVICE=jax python scripts/bench_e2e.py [--rows 65536]
+       [--queries 64] [--grind 16] [--blowup 16] [--verify]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def fib_chain_source(n_ops_target: int) -> str:
+    """A loop program whose op count lands in (target/2, target]."""
+    # Each unrolled iteration of this loop body lowers to a fixed small
+    # number of ops; calibrate the iteration count by compiling probes.
+    from zklisp_tpu.compiler import compile_entry
+
+    def src(k: int) -> str:
+        return (
+            "(def (main a b)\n"
+            f"  (loop :max {k} ((i 0) (x a) (y b))\n"
+            "    x\n"
+            "    (recur (+ i 1) y (+ x y))))\n"
+        )
+
+    lo, hi = 1, n_ops_target
+    # ops grow monotonically with k; binary-search the largest k that
+    # stays <= target
+    best = None
+    while lo <= hi:
+        mid = (lo + hi) // 2
+        prog = compile_entry(src(mid), [1, 1])
+        n = len(prog.ops)
+        if n <= n_ops_target:
+            best = (mid, n)
+            lo = mid + 1
+        else:
+            hi = mid - 1
+    k, n = best
+    return src(k), k, n
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=65536)
+    ap.add_argument("--queries", type=int, default=64)
+    ap.add_argument("--grind", type=int, default=16)
+    ap.add_argument("--blowup", type=int, default=16)
+    ap.add_argument("--security-bits", type=int, default=0)
+    ap.add_argument("--verify", action="store_true")
+    ap.add_argument("--no-agg", action="store_true")
+    args = ap.parse_args()
+
+    from zklisp_tpu.compiler import compile_entry
+    from zklisp_tpu.core.pi import PublicInputsBuilder, VmArg
+    from zklisp_tpu.prove.params import ProverOptions
+    from zklisp_tpu.prove import prover
+    from zklisp_tpu.trace import build as tb
+    from zklisp_tpu.agg import aggregate as agg
+
+    n_ops = args.rows // 32
+    t0 = time.time()
+    src, k, nops = fib_chain_source(n_ops)
+    prog = compile_entry(src, [1, 1])
+    t_compile = time.time() - t0
+    import math
+    rows = (1 << max(0, (len(prog.ops) - 1).bit_length())) * 32
+    print(f"program: k={k} ops={nops} trace_rows={rows} "
+          f"(compile {t_compile:.2f}s)", flush=True)
+
+    pi = (PublicInputsBuilder(prog)
+          .with_main_args([VmArg.u64(1), VmArg.u64(1)])
+          .build())
+    opts = ProverOptions(queries=args.queries, blowup=args.blowup,
+                         grind=args.grind,
+                         min_security_bits=args.security_bits)
+
+    t0 = time.time()
+    trace = tb.build_trace(prog, pi)
+    t_trace = time.time() - t0
+    print(f"trace build: {t_trace:.2f}s ({rows} rows)", flush=True)
+
+    # prove (segment loop; device prover compiles once per segment shape)
+    t0 = time.time()
+    steps = prover.prove_program(prog, pi, opts)
+    t_prove = time.time() - t0
+    print(f"prove: {t_prove:.2f}s for {len(steps)} segments "
+          f"({rows / t_prove:.1f} rows/s incl. trace/compile overheads)",
+          flush=True)
+
+    t_agg = 0.0
+    if not args.no_agg:
+        t0 = time.time()
+        agg_pi = agg.build_agg_public(steps)
+        agg_pi.pi_digest = pi.digest()
+        proof, digest = agg.recursion_prove(steps, agg_pi, opts)
+        t_agg = time.time() - t0
+        print(f"aggregate: {t_agg:.2f}s", flush=True)
+        if args.verify:
+            t0 = time.time()
+            agg.verify_agg(proof, agg_pi)
+            print(f"verify agg: {time.time() - t0:.2f}s", flush=True)
+
+    total = t_trace + t_prove + t_agg
+    print(json.dumps({
+        "metric": "proved_rows_per_sec_2e16_e2e",
+        "value": round(rows / total, 1),
+        "unit": "rows/s",
+        "detail": {
+            "rows": rows, "segments": len(steps),
+            "trace_s": round(t_trace, 2), "prove_s": round(t_prove, 2),
+            "agg_s": round(t_agg, 2),
+            "queries": args.queries, "blowup": args.blowup,
+            "grind": args.grind,
+            "device": os.environ.get("ZKL_DEVICE", "host"),
+        },
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

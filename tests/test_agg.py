@@ -109,3 +109,65 @@ def test_agg_trace_shape_checks(chain_bundle):
     bad.v_units_total += 1
     with pytest.raises(agg.AggError):
         agg.build_agg_trace(bad, steps)
+
+
+# ---------------------------------------------------------------------------
+# >=128-bit aggregation over the quadratic extension (src/lib.rs:352-378)
+# ---------------------------------------------------------------------------
+
+OPTS128 = ProverOptions(queries=33, blowup=16, grind=0,
+                        min_security_bits=128, max_segment_rows=128)
+
+
+@pytest.fixture(scope="module")
+def ext_bundle():
+    prog = mkprog([O.Const(0, 3), O.Const(1, 4), O.Mul(2, 0, 1),
+                   O.Add(3, 2, 1), O.End()])
+    pi = PublicInputsBuilder(prog).build()
+    proof, digest, agg_pi = agg.prove_chain(prog, pi, OPTS128)
+    return prog, pi, proof, digest, agg_pi
+
+
+def test_ext_agg_uses_quadratic_extension(ext_bundle):
+    _, _, proof, _, _ = ext_bundle
+    assert proof.context.options.field_extension == 2
+    # OOD values live in the extension: at least one has a nonzero
+    # high (im) half
+    assert any(v >> 128 for v in proof.ood_trace_current)
+
+
+def test_ext_agg_roundtrip(ext_bundle):
+    _, _, proof, digest, agg_pi = ext_bundle
+    agg.verify_agg(proof, agg_pi, min_bits=128)
+    assert digest == agg.recursion_digest(agg_pi)
+
+
+def test_ext_agg_codec_roundtrip(ext_bundle):
+    _, _, proof, _, agg_pi = ext_bundle
+    blob = agg.encode_artifact(proof, agg_pi)
+    proof2, pi2 = agg.decode_artifact(blob)
+    assert proof2.context.options.field_extension == 2
+    assert proof2.ood_trace_current == proof.ood_trace_current
+    assert proof2.fri_remainder == proof.fri_remainder
+    agg.verify_agg(proof2, pi2, min_bits=128)
+
+
+def test_ext_agg_tamper_rejected(ext_bundle):
+    _, _, proof, _, agg_pi = ext_bundle
+    bad = copy.deepcopy(agg_pi)
+    bad.children_root = bytes(32)
+    with pytest.raises(stark.VerifyError):
+        agg.verify_agg(proof, bad)
+    bad2 = copy.deepcopy(proof)
+    bad2.ood_quotient_current = list(bad2.ood_quotient_current)
+    bad2.ood_quotient_current[0] ^= 1
+    with pytest.raises(stark.VerifyError):
+        agg.verify_agg(bad2, agg_pi)
+
+
+def test_ext_agg_low_security_options_rejected(ext_bundle):
+    _, _, proof, _, agg_pi = ext_bundle
+    import dataclasses
+    # a base-field proof context cannot satisfy a 200-bit requirement
+    with pytest.raises(stark.VerifyError):
+        agg.verify_agg(proof, agg_pi, min_bits=200)

@@ -701,6 +701,12 @@ def prove_agg(agg_pi: AggAirPublicInputs, steps: Sequence[StepProof],
     nparts, rate = select_partitions_for_trace(trace.width, trace.length)
     wf_opts = base.with_partitions(nparts, rate)
     air = ZlAggAir(trace.width, trace.length, agg_pi)
+    if field_ext == 2:
+        # ≥128-bit requests prove over the quadratic extension, matching
+        # the reference's FieldExtension::Quadratic gate
+        # (prove.rs:732-800, src/lib.rs:352-378).
+        from ..prove.stark_ext import prove_trace_ext
+        return prove_trace_ext(trace, air, agg_pi, wf_opts)
     return stark.prove_trace(trace, air, agg_pi, wf_opts, xp or np)
 
 
@@ -708,6 +714,10 @@ def verify_agg(proof, agg_pi: AggAirPublicInputs,
                min_bits: int = 0) -> None:
     air = ZlAggAir(proof.context.trace_width, proof.context.trace_len,
                    agg_pi)
+    if proof.context.options.field_extension == 2:
+        from ..prove.stark_ext import verify_trace_ext
+        verify_trace_ext(proof, agg_pi, min_bits, air=air)
+        return
     stark.verify_trace(proof, agg_pi, min_bits, air=air)
 
 
@@ -744,6 +754,20 @@ def recursion_prove(steps: Sequence[StepProof],
 def prove_chain(program, pub_inputs, opts: ProverOptions):
     """recursion.rs prove_chain: steps -> public -> agg proof."""
     from ..prove.prover import prove_program
+    if opts.min_security_bits >= 64:
+        # fail fast before spending minutes on step proofs: check the
+        # best options the aggregation prover could use (quadratic
+        # extension) against the requested security level
+        from ..prove.params import estimate_conjectured_security_bits
+        best = ProofOptions(num_queries=max(opts.queries, 16),
+                            blowup=opts.blowup,
+                            grinding_factor=opts.grind,
+                            field_extension=2)
+        if estimate_conjectured_security_bits(best) < opts.min_security_bits:
+            raise AggError(
+                "prover options cannot reach the requested security "
+                f"level ({opts.min_security_bits} bits); raise queries/"
+                "blowup/grind")
     steps = prove_program(program, pub_inputs, opts)
     agg_pi = build_agg_public(steps)
     agg_pi.pi_digest = pub_inputs.digest()

@@ -16,9 +16,12 @@ from typing import List, Optional, Tuple
 
 from . import frontend
 from .agg import aggregate as agg
+from .agg.aggregate import AggError
 from .compiler import CompileError, compile_entry
 from .core.pi import PublicInputs, PublicInputsBuilder, VmArg
 from .prove.params import ProverOptions
+from .prove.prover import ProveError
+from .prove.stark import VerifyError
 
 MAX_BYTES_DEFAULT = 1 << 20
 
@@ -277,7 +280,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         elif args.cmd == "repl":
             from .repl import run_repl
             run_repl()
-    except (CliError, CompileError, frontend.PreflightError) as e:
+    except (CliError, CompileError, frontend.PreflightError,
+            VerifyError, AggError, ProveError) as e:
         if args.json:
             print(json.dumps({"ok": False, "error": str(e)}))
         else:

@@ -291,26 +291,35 @@ class _Reader:
     def u64(self) -> int:
         return struct.unpack("<Q", self.take(8))[0]
 
-    def fe(self) -> int:
-        return f128.from_bytes16(self.take(16))
+    def fe(self, wide: bool = False) -> int:
+        # wide: packed quadratic-extension element re + (im << 128),
+        # stored as 32 LE bytes (lo half then hi half)
+        lo = f128.from_bytes16(self.take(16))
+        if not wide:
+            return lo
+        hi = f128.from_bytes16(self.take(16))
+        return lo | (hi << 128)
 
 
-def _w_fe(out: bytearray, v: int) -> None:
-    out += f128.to_bytes16(v)
+def _w_fe(out: bytearray, v: int, wide: bool = False) -> None:
+    out += f128.to_bytes16(v & ((1 << 128) - 1))
+    if wide:
+        out += f128.to_bytes16(v >> 128)
 
 
-def _w_fes(out: bytearray, vs: List[int]) -> None:
+def _w_fes(out: bytearray, vs: List[int], wide: bool = False) -> None:
     out += struct.pack("<I", len(vs))
     for v in vs:
-        _w_fe(out, v)
+        _w_fe(out, v, wide)
 
 
-def _r_fes(r: _Reader) -> List[int]:
+def _r_fes(r: _Reader, wide: bool = False) -> List[int]:
     n = r.u32()
-    return [r.fe() for _ in range(n)]
+    return [r.fe(wide) for _ in range(n)]
 
 
-def _w_openings(out: bytearray, q: QueryOpenings) -> None:
+def _w_openings(out: bytearray, q: QueryOpenings,
+                wide: bool = False) -> None:
     out += struct.pack("<I", len(q.rows))
     if q.rows:
         out += struct.pack("<I", len(q.rows[0]))
@@ -319,17 +328,17 @@ def _w_openings(out: bytearray, q: QueryOpenings) -> None:
         out += struct.pack("<II", 0, 0)
     for row in q.rows:
         for v in row:
-            _w_fe(out, v)
+            _w_fe(out, v, wide)
     for path in q.paths:
         for d in path:
             out += d
 
 
-def _r_openings(r: _Reader) -> QueryOpenings:
+def _r_openings(r: _Reader, wide: bool = False) -> QueryOpenings:
     n = r.u32()
     width = r.u32()
     depth = r.u32()
-    rows = [[r.fe() for _ in range(width)] for _ in range(n)]
+    rows = [[r.fe(wide) for _ in range(width)] for _ in range(n)]
     paths = [[r.take(32) for _ in range(depth)] for _ in range(n)]
     return QueryOpenings(rows, paths)
 
@@ -344,17 +353,21 @@ def serialize_stark_proof(p: StarkProof) -> bytes:
                        o.num_partitions, o.hash_rate)
     out += p.trace_root
     out += p.constraint_root
-    _w_fes(out, p.ood_trace_current)
-    _w_fes(out, p.ood_trace_next)
-    _w_fes(out, p.ood_quotient_current)
-    _w_fes(out, p.ood_quotient_next)
+    # In extension mode (field_extension == 2) every derived-value list
+    # holds packed extension elements (re + (im << 128)) stored as 32
+    # bytes; trace opening rows stay base-field (16 bytes).
+    wide = o.field_extension == 2
+    _w_fes(out, p.ood_trace_current, wide)
+    _w_fes(out, p.ood_trace_next, wide)
+    _w_fes(out, p.ood_quotient_current, wide)
+    _w_fes(out, p.ood_quotient_next, wide)
     out += struct.pack("<I", len(p.fri_roots))
     for root in p.fri_roots:
         out += root
-    _w_fes(out, p.fri_remainder)
+    _w_fes(out, p.fri_remainder, wide)
     out += struct.pack("<Q", p.pow_nonce)
     _w_openings(out, p.trace_openings)
-    _w_openings(out, p.constraint_openings)
+    _w_openings(out, p.constraint_openings, wide)
     out += struct.pack("<I", len(p.fri_openings))
     for layer in p.fri_openings:
         out += struct.pack("<I", len(layer.pairs))
@@ -363,8 +376,8 @@ def serialize_stark_proof(p: StarkProof) -> bytes:
         else:
             out += struct.pack("<I", 0)
         for (v0, v1) in layer.pairs:
-            _w_fe(out, v0)
-            _w_fe(out, v1)
+            _w_fe(out, v0, wide)
+            _w_fe(out, v1, wide)
         for path in layer.paths:
             for d in path:
                 out += d
@@ -384,22 +397,23 @@ def deserialize_stark_proof(data: bytes) -> StarkProof:
     ctx = ProofContext(tw, tl, opts)
     trace_root = r.take(32)
     constraint_root = r.take(32)
-    ood_tc = _r_fes(r)
-    ood_tn = _r_fes(r)
-    ood_qc = _r_fes(r)
-    ood_qn = _r_fes(r)
+    wide = ext == 2
+    ood_tc = _r_fes(r, wide)
+    ood_tn = _r_fes(r, wide)
+    ood_qc = _r_fes(r, wide)
+    ood_qn = _r_fes(r, wide)
     n_roots = r.u32()
     fri_roots = [r.take(32) for _ in range(n_roots)]
-    fri_remainder = _r_fes(r)
+    fri_remainder = _r_fes(r, wide)
     pow_nonce = r.u64()
     trace_open = _r_openings(r)
-    constraint_open = _r_openings(r)
+    constraint_open = _r_openings(r, wide)
     n_layers = r.u32()
     fri_open = []
     for _ in range(n_layers):
         n = r.u32()
         depth = r.u32()
-        pairs = [(r.fe(), r.fe()) for _ in range(n)]
+        pairs = [(r.fe(wide), r.fe(wide)) for _ in range(n)]
         paths = [[r.take(32) for _ in range(depth)] for _ in range(n)]
         fri_open.append(FriLayerOpenings(pairs, paths))
     return StarkProof(

@@ -543,6 +543,10 @@ def verify_trace(proof: StarkProof, air_pi, min_security_bits: int = 0,
                  air=None) -> None:
     """Full verification; raises VerifyError on any failure."""
     options = proof.context.options
+    if options.field_extension == 2:
+        from .stark_ext import verify_trace_ext
+        verify_trace_ext(proof, air_pi, min_security_bits, air=air)
+        return
     n = proof.context.trace_len
     w = proof.context.trace_width
     blowup = options.blowup
