@@ -75,9 +75,59 @@ class RandomCoin:
         return (head & -head).bit_length() - 1
 
     def grind(self, grinding_factor: int) -> int:
-        """Find a nonce whose check_leading_zeros >= grinding_factor."""
-        nonce = 0
-        while True:
-            if self.check_leading_zeros(nonce) >= grinding_factor:
-                return nonce
-            nonce += 1
+        """Find the smallest nonce whose check_leading_zeros >=
+        grinding_factor.
+
+        The search is an embarrassingly parallel Poseidon scan (one
+        permutation per candidate), so it runs through the batched
+        numpy sponge: merge_with_int(seed, v) absorbs exactly two
+        chunks — fold(seed) and v — and the pass/fail test is
+        `low 64 bits of the digest ≡ 0 (mod 2^g)`.  ~100x faster than
+        the scalar loop at grind=16 (a per-segment hot spot).
+        """
+        if grinding_factor <= 0:
+            return 0
+        import os
+
+        import numpy as np
+
+        from ..crypto import poseidon_jax as pj
+        from ..field import f128, limb
+
+        on_device = os.environ.get("ZKL_DEVICE", "").lower() in (
+            "jax", "tpu")
+        seed_fe = f128.fold_bytes32_to_fe(self.seed)
+        seed_limbs = limb.from_ints([seed_fe])          # (1, 8)
+        mask = (1 << grinding_factor) - 1
+        if on_device:
+            batch = 1 << 16
+        else:
+            batch = max(4096, 2 << grinding_factor) \
+                if grinding_factor < 14 else 1 << 15
+        start = 0
+        while start < (1 << 62):
+            if on_device:
+                from . import kernels
+                import jax.numpy as jnp
+                out = np.asarray(kernels.grind_scan_fn(batch)(
+                    jnp.asarray(seed_limbs[0]),
+                    (jnp.uint32(start & 0xFFFFFFFF),
+                     jnp.uint32(start >> 32))))         # (B, 4)
+                out4 = out
+            else:
+                vs = np.arange(start, start + batch, dtype=np.uint64)
+                chunk1 = limb.from_u64(vs, np)          # (B, 8)
+                chunk0 = np.broadcast_to(seed_limbs[None, 0],
+                                         (batch, limb.NLIMB))
+                fes = np.stack([chunk0, chunk1], axis=1)
+                out4 = pj.sponge_fes(
+                    fes, b"zkl/winter/hash/merge_with_int", np)[:, :4]
+            lo = (out4[:, 0].astype(np.uint64)
+                  | out4[:, 1].astype(np.uint64) << np.uint64(16)
+                  | out4[:, 2].astype(np.uint64) << np.uint64(32)
+                  | out4[:, 3].astype(np.uint64) << np.uint64(48))
+            hits = np.nonzero((lo & np.uint64(mask)) == 0)[0]
+            if hits.size:
+                return start + int(hits[0])
+            start += batch
+        raise RuntimeError("grinding failed to find a nonce")

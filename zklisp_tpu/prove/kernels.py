@@ -73,3 +73,36 @@ def commit_device(rows, partition_size: int):
     leaves = leaf_hash_fn(rows.shape[1], partition_size)(rows)
     levels = merkle_levels_fn(leaves.shape[0])(leaves)
     return levels
+
+
+@lru_cache(maxsize=None)
+def grind_scan_fn(batch: int):
+    """Jitted PoW scan: lo-64 digest words for `batch` candidate nonces.
+
+    merge_with_int(seed, v) absorbs two chunks — fold(seed) and v — and
+    the grinding test only needs the low 64 bits of the digest, so the
+    kernel returns one uint32 pair per candidate; the (tiny) hit test
+    runs on host.  One compile per batch size (cached persistently).
+    """
+    import jax
+    jnp = _jnp()
+    from ..crypto import poseidon_jax as pj
+    from ..field import limb
+
+    def fn(seed_chunk, start):
+        # 64-bit candidate = start + i, built from 32-bit halves (the
+        # device path avoids 64-bit ints: start is passed as two u32s)
+        vs = jnp.arange(batch, dtype=jnp.uint32)
+        s_lo, s_hi = start
+        lo = vs + s_lo
+        carry = (lo < vs).astype(jnp.uint32)
+        hi = s_hi + carry
+        chunk1 = jnp.stack(
+            [lo & 0xFFFF, lo >> 16, hi & 0xFFFF, hi >> 16]
+            + [jnp.zeros_like(lo)] * 4, axis=-1)         # (B, 8)
+        chunk0 = jnp.broadcast_to(seed_chunk[None], (batch, limb.NLIMB))
+        fes = jnp.stack([chunk0, chunk1], axis=1)        # (B, 2, 8)
+        out = pj.sponge_fes(fes, b"zkl/winter/hash/merge_with_int", jnp)
+        return out[:, :4]                                # (B, 4) 16-bit limbs
+
+    return jax.jit(fn, static_argnums=())
