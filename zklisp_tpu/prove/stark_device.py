@@ -394,6 +394,7 @@ def _x0_tables(size: int):
 
 def prove_trace_device(trace, air: ZkLispAir, air_pi,
                        options: ProofOptions) -> StarkProof:
+    from ..utils.tracing import phase
     jnp = _jnp()
     n = trace.length
     w = trace.width
@@ -403,22 +404,27 @@ def prove_trace_device(trace, air: ZkLispAir, air_pi,
     Q = air.ce_blowup()
 
     # stage 1: trace polys + LDE
-    cols_limbs = jnp.asarray(trace.to_limbs())
-    trace_polys, trace_lde = _lde_polys_fn(n, blowup)(cols_limbs)
+    with phase("lde", rows=n, width=w):
+        cols_limbs = jnp.asarray(trace.to_limbs())
+        trace_polys, trace_lde = _lde_polys_fn(n, blowup)(cols_limbs)
+        trace_lde.block_until_ready()
 
     # stage 2: trace commitment
-    ps_main = options.partition_size(w)
-    trace_comm = _commit_cols_device(trace_lde, ps_main)
+    with phase("trace_commit"):
+        ps_main = options.partition_size(w)
+        trace_comm = _commit_cols_device(trace_lde, ps_main)
 
-    coin = RandomCoin(context.to_elements() + air_pi.to_elements())
-    coin.reseed(trace_comm.root)
+    with phase("fs_coeff_draws"):
+        coin = RandomCoin(context.to_elements() + air_pi.to_elements())
+        coin.reseed(trace_comm.root)
 
-    groups = group_assertions(air.get_assertions(), n)
-    alphas = coin.draw_many(air.num_transition_constraints())
-    betas = coin.draw_many(len(groups))
+        groups = group_assertions(air.get_assertions(), n)
+        alphas = coin.draw_many(air.num_transition_constraints())
+        betas = coin.draw_many(len(groups))
 
-    (per_p, p_last, zinv, cyc_pos, cyc_divp, sgl_pos, sgl_div,
-     dperiod) = _host_tables(air, groups, blowup)
+    with phase("host_tables"):
+        (per_p, p_last, zinv, cyc_pos, cyc_divp, sgl_pos, sgl_div,
+         dperiod) = _host_tables(air, groups, blowup)
     cyc = [groups[i] for i in cyc_pos]
     sgl = [groups[i] for i in sgl_pos]
     gates_p = jnp.asarray(per_p[1:1 + 27])
@@ -426,19 +432,22 @@ def prove_trace_device(trace, air: ZkLispAir, air_pi,
     alphas_dev = jnp.asarray(limb.from_ints(alphas))
 
     # stage 3: composition = scan blocks + bytecode VM
-    prog_cvm, specs = _record_cvm(air, per_p.shape[0] + 1)
-    if specs:
-        acc_scan = _scan_blocks_fn(air, specs, blowup)(
-            trace_lde, gates_p, alphas_dev)
-    else:
-        acc_scan = None
-    if prog_cvm.n_instr:
-        acc_gen = cvm.execute(prog_cvm, trace_lde, jnp.asarray(per_p),
-                              p_last_dev, alphas_dev, blowup)
-        comb = (acc_gen if acc_scan is None
-                else limb.add(acc_scan, acc_gen, jnp))
-    else:
-        comb = acc_scan
+    with phase("record_cvm"):
+        prog_cvm, specs = _record_cvm(air, per_p.shape[0] + 1)
+    with phase("composition"):
+        if specs:
+            acc_scan = _scan_blocks_fn(air, specs, blowup)(
+                trace_lde, gates_p, alphas_dev)
+        else:
+            acc_scan = None
+        if prog_cvm.n_instr:
+            acc_gen = cvm.execute(prog_cvm, trace_lde, jnp.asarray(per_p),
+                                  p_last_dev, alphas_dev, blowup)
+            comb = (acc_gen if acc_scan is None
+                    else limb.add(acc_scan, acc_gen, jnp))
+        else:
+            comb = acc_scan
+        comb.block_until_ready()
 
     # boundary + quotient
     cyc_betas = [betas[i] for i in cyc_pos]
@@ -462,22 +471,27 @@ def prove_trace_device(trace, air: ZkLispAir, air_pi,
         sgl_idx[:len(sgl)] = [g.column for g in sgl]
         sgl_div_a[:len(sgl)] = _np.asarray(limb.from_ints(sgl_div))
 
-    q_polys, q_lde = _quotient_fn(n, blowup, Q, ngc, ngs, dperiod)(
-        comb, trace_lde,
-        jnp.asarray(cyc_idx), pad_vals([g.value for g in cyc], ngc),
-        jnp.asarray(cyc_divp_a),
-        pad_vals(cyc_betas, ngc),
-        jnp.asarray(sgl_idx), pad_vals([g.value for g in sgl],
-                                       max(ngs, 1)),
-        jnp.asarray(sgl_div_a),
-        pad_vals(sgl_betas, max(ngs, 1)),
-        jnp.asarray(zinv))
+    with phase("quotient"):
+        q_polys, q_lde = _quotient_fn(n, blowup, Q, ngc, ngs, dperiod)(
+            comb, trace_lde,
+            jnp.asarray(cyc_idx), pad_vals([g.value for g in cyc], ngc),
+            jnp.asarray(cyc_divp_a),
+            pad_vals(cyc_betas, ngc),
+            jnp.asarray(sgl_idx), pad_vals([g.value for g in sgl],
+                                           max(ngs, 1)),
+            jnp.asarray(sgl_div_a),
+            pad_vals(sgl_betas, max(ngs, 1)),
+            jnp.asarray(zinv))
+        q_lde.block_until_ready()
 
-    ps_con = options.partition_size(Q)
-    constraint_comm = _commit_cols_device(q_lde, ps_con)
-    coin.reseed(constraint_comm.root)
+    with phase("constraint_commit"):
+        ps_con = options.partition_size(Q)
+        constraint_comm = _commit_cols_device(q_lde, ps_con)
+        coin.reseed(constraint_comm.root)
 
     # stage 4: OOD
+    ph_ood = phase("ood")
+    ph_ood.__enter__()
     z = coin.draw()
     g_trace = f128.get_root_of_unity(n)
     zg = f128.mul(z, g_trace)
@@ -496,8 +510,11 @@ def prove_trace_device(trace, air: ZkLispAir, air_pi,
     ood_q_next = _to_host_ints(_ood_fn(Q, n)(q_polys, zgp))
     ood_evals = ood_t_cur + ood_q_cur + ood_t_next + ood_q_next
     coin.reseed(pos.hash_elements(ood_evals))
+    ph_ood.__exit__(None, None, None)
 
     # stage 5: DEEP
+    ph_deep = phase("deep")
+    ph_deep.__enter__()
     gammas = coin.draw_many(w)
     deltas = coin.draw_many(Q)
     gz = sum(g_ * t for g_, t in zip(gammas, ood_t_cur)) % P
@@ -522,8 +539,12 @@ def prove_trace_device(trace, air: ZkLispAir, air_pi,
         for s in range(0, N, chunk)]
     deep = (deep_parts[0] if len(deep_parts) == 1
             else jnp.concatenate(deep_parts))
+    deep.block_until_ready()
+    ph_deep.__exit__(None, None, None)
 
     # stage 6: FRI
+    ph_fri = phase("fri")
+    ph_fri.__enter__()
     num_layers = options.num_fri_layers(N)
     fri_layers_vals = []
     fri_comms: List[MerkleCommitment] = []
@@ -550,9 +571,11 @@ def prove_trace_device(trace, air: ZkLispAir, air_pi,
     assert all(v == 0 for v in rem_ints[max_deg + 1:]), \
         "FRI remainder degree too high"
     fri_remainder = list(reversed(rem_ints[:max_deg + 1]))
+    ph_fri.__exit__(None, None, None)
 
-    # grinding + positions (host)
-    pow_nonce = coin.grind(options.grinding_factor)
+    # grinding + positions (host-driven, device scan)
+    with phase("grind", bits=options.grinding_factor):
+        pow_nonce = coin.grind(options.grinding_factor)
     positions = sorted(set(coin.draw_integers(
         options.num_queries, N, pow_nonce)))
 
@@ -570,8 +593,9 @@ def prove_trace_device(trace, air: ZkLispAir, air_pi,
             out_paths.append(comm.open(p_))
         return QueryOpenings(out_rows, out_paths)
 
-    trace_open = open_rows(trace_comm, t_rows, positions)
-    constraint_open = open_rows(constraint_comm, q_rows, positions)
+    with phase("openings", nq=len(positions)):
+        trace_open = open_rows(trace_comm, t_rows, positions)
+        constraint_open = open_rows(constraint_comm, q_rows, positions)
 
     fri_open: List[FriLayerOpenings] = []
     pos_d = positions
