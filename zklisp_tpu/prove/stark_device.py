@@ -111,7 +111,46 @@ def _leaf_chunk_fn(n_cols: int, partition_size: int, chunk: int):
     return jax.jit(fn)
 
 
-def _commit_cols_device(cols_arr, partition_size: int) -> MerkleCommitment:
+class _DevCommitment:
+    """Merkle commitment whose levels stay on device.
+
+    Only the root crosses to host at commit time (needed for FS
+    reseeding); sibling paths are gathered on device and transferred in
+    ONE small copy per commitment (`open_paths`).  Transferring full
+    trees over the tunneled device costs seconds per segment.
+    """
+
+    def __init__(self, levels) -> None:
+        self.levels = levels                     # device arrays, (m, 8)
+        self.root_fe = int(limb.to_ints(_np.asarray(levels[-1]))[0])
+
+    @property
+    def root(self) -> bytes:
+        return f128.fe_to_bytes_fold(self.root_fe)
+
+    def open_paths(self, positions) -> List[List[bytes]]:
+        """Sibling paths (bottom-up) for the given leaf indices."""
+        jnp = _jnp()
+        if not positions:
+            return []
+        idx = _np.asarray(positions, dtype=_np.int64)
+        sib_gathers = []
+        cur = idx
+        for level in self.levels[:-1]:
+            sib_gathers.append(level[jnp.asarray(cur ^ 1)])  # (nq, 8)
+            cur = cur >> 1
+        flat = _np.asarray(jnp.concatenate(sib_gathers, axis=0))
+        depth = len(self.levels) - 1
+        nq = len(positions)
+        fes = limb.to_ints(flat)                 # (depth * nq,)
+        paths = []
+        for j in range(nq):
+            paths.append([f128.fe_to_bytes_fold(int(fes[d * nq + j]))
+                          for d in range(depth)])
+        return paths
+
+
+def _commit_cols_device(cols_arr, partition_size: int) -> _DevCommitment:
     """Commit to the rows of a column-major (C, N, 8) array without ever
     materializing the full row-major transpose."""
     jnp = _jnp()
@@ -121,17 +160,13 @@ def _commit_cols_device(cols_arr, partition_size: int) -> MerkleCommitment:
     parts = [fn(cols_arr[:, s:s + chunk]) for s in range(0, N, chunk)]
     leaves = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
     levels = kernels.merkle_levels_fn(N)(leaves)
-    levels_h = [_np.asarray(lv) for lv in levels]
-    root_fe = int(limb.to_ints(levels_h[-1])[0])
-    return MerkleCommitment(levels_h, root_fe)
+    return _DevCommitment(levels)
 
 
-def _commit_rows_device(rows, partition_size: int) -> MerkleCommitment:
+def _commit_rows_device(rows, partition_size: int) -> _DevCommitment:
     """Commit to an already row-major (N, W, 8) array (small widths)."""
     levels = kernels.commit_device(rows, partition_size)
-    levels_h = [_np.asarray(lv) for lv in levels]
-    root_fe = int(limb.to_ints(levels_h[-1])[0])
-    return MerkleCommitment(levels_h, root_fe)
+    return _DevCommitment(levels)
 
 
 @lru_cache(maxsize=None)
@@ -240,9 +275,14 @@ def _host_tables(air: ZkLispAir, groups, blowup: int):
     """Config-constant host tables: one-period periodic selectors,
     p_last, zerofier inverse, and divisor inverses (cyclic groups as one
     period; singles full-length).  Cached per configuration."""
-    key = (("tables",) + _config_key(air, blowup)
-           + (tuple((g.column, g.value, g.offsets, g.step)
-                    for g in groups),))
+    # Key on layout structure + group STRUCTURE only: the tables
+    # (periodic selectors, p_last, zerofier and divisor inverses) depend
+    # on offsets/steps but never on assertion values or boundary public
+    # inputs, so all segments of a run share one entry (the old key
+    # included air_pi.to_elements() and missed on every segment).
+    key = ("tables", air.trace_width, air.trace_len, blowup,
+           dataclasses.astuple(air.features), air.rom_enabled,
+           tuple((g.column, g.offsets, g.step) for g in groups))
     if key in _STAGE_CACHE:
         return _STAGE_CACHE[key]
     n = air.trace_len
@@ -547,7 +587,7 @@ def prove_trace_device(trace, air: ZkLispAir, air_pi,
     ph_fri.__enter__()
     num_layers = options.num_fri_layers(N)
     fri_layers_vals = []
-    fri_comms: List[MerkleCommitment] = []
+    fri_comms: List[_DevCommitment] = []
     layer = deep
     size = N
     for d in range(num_layers):
@@ -555,7 +595,10 @@ def prove_trace_device(trace, air: ZkLispAir, air_pi,
         pair_rows = jnp.stack([layer[:half], layer[half:]], axis=1)
         comm = _commit_rows_device(pair_rows, 2)
         fri_comms.append(comm)
-        fri_layers_vals.append(_np.asarray(layer))
+        # keep full layers on device; only the handful of opened values
+        # is transferred later (a full-layer transfer per depth costs
+        # seconds over a tunneled device)
+        fri_layers_vals.append(layer)
         coin.reseed(comm.root)
         alpha = coin.draw()
         x0s, inv2x0 = _x0_tables(size)
@@ -586,12 +629,10 @@ def prove_trace_device(trace, air: ZkLispAir, air_pi,
     q_rows = _np.asarray(_gather_rows_fn(Q, len(positions))(
         q_lde, idx_dev))
 
-    def open_rows(comm: MerkleCommitment, rows_h, idxs) -> QueryOpenings:
-        out_rows, out_paths = [], []
-        for j, p_ in enumerate(idxs):
-            out_rows.append([int(v) for v in limb.to_ints(rows_h[j])])
-            out_paths.append(comm.open(p_))
-        return QueryOpenings(out_rows, out_paths)
+    def open_rows(comm: _DevCommitment, rows_h, idxs) -> QueryOpenings:
+        out_rows = [[int(v) for v in limb.to_ints(rows_h[j])]
+                    for j in range(len(idxs))]
+        return QueryOpenings(out_rows, comm.open_paths(list(idxs)))
 
     with phase("openings", nq=len(positions)):
         trace_open = open_rows(trace_comm, t_rows, positions)
@@ -607,13 +648,14 @@ def prove_trace_device(trace, air: ZkLispAir, air_pi,
             m = p_ % half
             if m not in folded:
                 folded.append(m)
-        layer_host = fri_layers_vals[d]
-        pairs, paths = [], []
-        for m in folded:
-            v0 = int(limb.to_ints(layer_host[m:m + 1])[0])
-            v1 = int(limb.to_ints(layer_host[half + m:half + m + 1])[0])
-            pairs.append((v0, v1))
-            paths.append(fri_comms[d].open(m))
+        idx = _np.asarray([m for m in folded]
+                          + [half + m for m in folded], dtype=_np.int32)
+        opened = limb.to_ints(_np.asarray(
+            fri_layers_vals[d][jnp.asarray(idx)]))
+        nf = len(folded)
+        pairs = [(int(opened[i]), int(opened[nf + i]))
+                 for i in range(nf)]
+        paths = fri_comms[d].open_paths(folded)
         fri_open.append(FriLayerOpenings(pairs, paths))
         pos_d = folded
         size_d = half
