@@ -171,3 +171,28 @@ def test_ext_agg_low_security_options_rejected(ext_bundle):
     # a base-field proof context cannot satisfy a 200-bit requirement
     with pytest.raises(stark.VerifyError):
         agg.verify_agg(proof, agg_pi, min_bits=200)
+
+
+def test_agg_power_of_two_children():
+    """Child counts that are exact powers of two must still aggregate.
+
+    The accumulator chains propagate into the NEXT row, so the last
+    child needs a pad row after it; the reference's padding
+    (max(n, 8).next_power_of_two(), agg/trace.rs:398) leaves none at
+    n = 8, 16, ... and its aggregation AIR is unsatisfiable there —
+    deliberately fixed here (PARITY.md).
+    """
+    from zklisp_tpu.prove import prover
+
+    ops = [O.Const(0, 7)]
+    for i in range(6):
+        ops.append(O.Add(1, 0, 0) if i % 2 == 0 else O.Mul(0, 1, 1))
+    ops.append(O.End())
+    prog = mkprog(ops)  # 8 levels -> 8 segments at max_segment_rows=32
+    pi = PublicInputsBuilder(prog).build()
+    opts = ProverOptions(queries=8, blowup=8, grind=0,
+                         min_security_bits=0, max_segment_rows=32)
+    proof, digest, agg_pi = agg.prove_chain(prog, pi, opts)
+    assert agg_pi.children_count == 8
+    assert proof.context.trace_len == 16   # 8 children + pad row -> 16
+    agg.verify_agg(proof, agg_pi)

@@ -588,7 +588,15 @@ def build_agg_trace(agg_pi: AggAirPublicInputs,
     if v_sum != agg_pi.v_units_total:
         raise AggError("v_units_total mismatch")
 
-    base_rows = max(n_children, MIN_AGG_TRACE_ROWS)
+    # At least ONE pad row after the last child: the accumulator chains
+    # (C1/C11) propagate acc into the NEXT row, so the boundary
+    # assertions v_units_acc[last]/child_count_acc[last] only see the
+    # final child's contribution on a pad row.  The reference computes
+    # max(n_children, 8).next_power_of_two() (agg/trace.rs:398) and is
+    # therefore unsatisfiable at child counts that are exact powers of
+    # two >= 8 (e.g. the 16 segments of its own rollup-bench config);
+    # deliberate fix here (PARITY.md).
+    base_rows = max(n_children + 1, MIN_AGG_TRACE_ROWS)
     n_rows = 1 << (base_rows - 1).bit_length()
     trace = TraceTable(cols.width(), n_rows)
 
