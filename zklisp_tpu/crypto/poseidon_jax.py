@@ -44,6 +44,35 @@ def _rom_arrays(suite_id: bytes):
     return limb.from_ints(mds3), limb.from_ints(rc3)
 
 
+def _native_ok() -> bool:
+    from .. import native
+    return native.available()
+
+
+@lru_cache(maxsize=None)
+def _suite_bytes(suite_id: bytes, rounds: int):
+    """(mds, rc) as 16-byte-LE buffers for the native batch kernel."""
+    s = pos.get_poseidon_suite(suite_id, rounds)
+    mds_flat = [v for row in s.mds for v in row]
+    rc_flat = [v for row in s.rc for v in row]
+    pack = lambda vals: b"".join(int(v).to_bytes(16, "little")
+                                 for v in vals)
+    return pack(mds_flat), pack(rc_flat)
+
+
+@lru_cache(maxsize=None)
+def _mds_wmat(suite_id: bytes, rounds: int):
+    """uint8 weight planes of MDS^T for the MXU matmul path.
+
+    out[i] = sum_j mds[i, j] * s3[j]  ->  wmat rows indexed by j, so the
+    weight matrix is the MDS transpose."""
+    from ..field import mxu
+    s = pos.get_poseidon_suite(suite_id, rounds)
+    t = len(s.mds)
+    mds_t = [[s.mds[i][j] for i in range(t)] for j in range(t)]
+    return mxu.wmat_planes(mxu.wmat_from_ints(mds_t))
+
+
 def permute12_batch(states, suite_id: bytes, xp, rounds: int | None = None):
     """states: (..., 12, 8) -> (..., 12, 8) after full Poseidon2.
 
@@ -56,16 +85,45 @@ def permute12_batch(states, suite_id: bytes, xp, rounds: int | None = None):
     rc = xp.asarray(rc)
 
     if xp is not _np:
+        import os
+
         import jax
+
+        from ..field import mxu
+
+        # MDS layer as an MXU matmul over limb columns: out = s3 @ M^T
+        # (wmat rows are the j-index, so pass the transposed MDS).
+        # ZKL_NO_MXU_POSEIDON=1 forces the VPU limb.dot path (A/B).
+        use_mxu = not os.environ.get("ZKL_NO_MXU_POSEIDON")
+        if use_mxu:
+            w_lo, w_hi = _mds_wmat(bytes(suite_id), rounds)
+            w_lo = xp.asarray(w_lo)
+            w_hi = xp.asarray(w_hi)
 
         def body(s, rc_r):
             s2 = limb.mul(s, s, xp)
             s3 = limb.mul(s2, s, xp)
-            y = limb.dot(mds, s3[..., None, :, :], xp)
+            if use_mxu:
+                y = mxu.field_matmul(s3, w_lo, w_hi, xp)
+            else:
+                y = limb.dot(mds, s3[..., None, :, :], xp)
             return limb.add(y, xp.broadcast_to(rc_r, y.shape), xp), None
 
         s, _ = jax.lax.scan(body, states, rc)
         return s
+
+    # numpy host path: the native C++ batch kernel when available
+    # (u128 scalar arithmetic, ~20x the numpy limb path), else numpy.
+    if _native_ok():
+        from .. import native
+        lead = states.shape[:-2]
+        b = int(_np.prod(lead)) if lead else 1
+        mds_b, rc_b = _suite_bytes(bytes(suite_id), rounds)
+        inp = _np.ascontiguousarray(
+            states.reshape(b * 12, limb.NLIMB)).astype("<u2").tobytes()
+        raw = native.poseidon12_batch_raw(inp, mds_b, rc_b, b, rounds)
+        out = _np.frombuffer(raw, dtype="<u2").astype(_np.uint32)
+        return out.reshape(lead + (12, limb.NLIMB))
 
     s = states
     for r in range(rounds):

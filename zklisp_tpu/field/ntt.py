@@ -26,6 +26,18 @@ from . import f128, limb
 
 DEFAULT_COSET_OFFSET = f128.GENERATOR  # 3
 
+# On the JAX backend, NTTs at or above this size run as four-step MXU
+# matmuls (field/mxu.py) instead of radix-2 butterfly stages — same
+# exact outputs, ~10-60x faster on hardware.  Small transforms stay
+# radix-2 (matmul tiles would be padding-dominated).
+# ZKL_NO_MXU_NTT=1 forces radix-2 (A/B benchmarking kill switch).
+MXU_NTT_MIN = 512
+
+
+def _no_mxu() -> bool:
+    import os
+    return bool(os.environ.get("ZKL_NO_MXU_NTT"))
+
 
 @lru_cache(maxsize=None)
 def _host_root_pow2_powers(log_n: int, inverse: bool):
@@ -94,6 +106,9 @@ def ntt(x, xp, pows=None):
     assert (1 << log_n) == n
     if n == 1:
         return x
+    if xp is not _np and n >= MXU_NTT_MIN and not _no_mxu():
+        from . import mxu
+        return mxu.ntt_four_step(x, xp, inverse=False)
     if pows is None:
         pows = powers_table(log_n, xp)
 
@@ -120,6 +135,9 @@ def intt(y, xp, pows_inv=None):
     assert (1 << log_n) == n
     if n == 1:
         return y
+    if xp is not _np and n >= MXU_NTT_MIN and not _no_mxu():
+        from . import mxu
+        return mxu.ntt_four_step(y, xp, inverse=True)
     if pows_inv is None:
         pows_inv = powers_table(log_n, xp, inverse=True)
 

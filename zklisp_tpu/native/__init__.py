@@ -56,6 +56,9 @@ def _load():
         lib.poseidon12_levels.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
                                           ctypes.c_char_p, ctypes.c_size_t,
                                           ctypes.c_size_t, ctypes.c_char_p]
+        lib.poseidon12_batch.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                         ctypes.c_char_p, ctypes.c_size_t,
+                                         ctypes.c_size_t, ctypes.c_char_p]
         _lib = lib
         return _lib
 
@@ -103,3 +106,23 @@ def poseidon12_levels(inputs_flat: Sequence[int], mds_flat: Sequence[int],
     lib.poseidon12_levels(_pack(inputs_flat), _pack(mds_flat),
                           _pack(rc_flat), levels, rounds, out)
     return _unpack(out.raw)
+
+
+def poseidon12_batch(inputs_flat: Sequence[int], mds_flat: Sequence[int],
+                     rc_flat: Sequence[int], batch: int,
+                     rounds: int) -> List[int]:
+    """batch*12 input states -> batch*12 final states (flat)."""
+    lib = _load()
+    out = ctypes.create_string_buffer(16 * 12 * batch)
+    lib.poseidon12_batch(_pack(inputs_flat), _pack(mds_flat),
+                         _pack(rc_flat), batch, rounds, out)
+    return _unpack(out.raw)
+
+
+def poseidon12_batch_raw(inputs: bytes, mds: bytes, rc: bytes,
+                         batch: int, rounds: int) -> bytes:
+    """Raw-bytes variant (16-byte LE elements): batch*12 states in/out."""
+    lib = _load()
+    out = ctypes.create_string_buffer(16 * 12 * batch)
+    lib.poseidon12_batch(inputs, mds, rc, batch, rounds, out)
+    return out.raw

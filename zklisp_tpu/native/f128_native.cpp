@@ -191,4 +191,37 @@ void poseidon12_levels(const uint8_t* inputs, const uint8_t* mds,
     }
 }
 
+// Batched t=12 permutations, final states only (digest workloads:
+// Fiat-Shamir draws, grinding, Merkle hashing on the host path).
+void poseidon12_batch(const uint8_t* inputs, const uint8_t* mds,
+                      const uint8_t* rc, size_t batch, size_t rounds,
+                      uint8_t* out) {
+    u128 m[144];
+    for (int i = 0; i < 144; i++) m[i] = load_le(mds + 16 * i);
+    for (size_t b = 0; b < batch; b++) {
+        u128 s[12];
+        for (int i = 0; i < 12; i++)
+            s[i] = load_le(inputs + 16 * (12 * b + i));
+        for (size_t j = 0; j < rounds; j++) {
+            u128 s3[12];
+            for (int i = 0; i < 12; i++) {
+                u128 v2 = mulmod(s[i], s[i]);
+                s3[i] = mulmod(v2, s[i]);
+            }
+            const uint8_t* rcj = rc + 16 * 12 * j;
+            u128 y[12];
+            for (int i = 0; i < 12; i++) {
+                u128 acc = 0;
+                const u128* row = m + 12 * i;
+                for (int k = 0; k < 12; k++)
+                    acc = addmod(acc, mulmod(row[k], s3[k]));
+                y[i] = addmod(acc, load_le(rcj + 16 * i));
+            }
+            for (int i = 0; i < 12; i++) s[i] = y[i];
+        }
+        for (int i = 0; i < 12; i++)
+            store_le(out + 16 * (12 * b + i), s[i]);
+    }
+}
+
 }  // extern "C"

@@ -47,7 +47,32 @@ class RandomCoin:
         raise RuntimeError("failed to draw a valid field element")
 
     def draw_many(self, n: int) -> List[int]:
-        return [self.draw() for _ in range(n)]
+        """n draws; identical to n draw() calls.
+
+        Vectorized through the batched numpy sponge: each draw is one
+        merge_with_int(seed, counter) permutation, and the candidate
+        value (first 16 digest bytes) IS the lane-0 field element, which
+        is always canonical (< p) — the scalar retry loop can never
+        trigger — so the batch is exact.  ~100x faster for the ~700
+        coefficient draws per segment.
+        """
+        if n < 8:
+            return [self.draw() for _ in range(n)]
+        import numpy as np
+
+        from ..crypto import poseidon_jax as pj
+        from ..field import f128, limb
+
+        seed_fe = f128.fold_bytes32_to_fe(self.seed)
+        seed_limbs = limb.from_ints([seed_fe])
+        counters = np.arange(self.counter + 1, self.counter + n + 1,
+                             dtype=np.uint64)
+        chunk1 = limb.from_u64(counters, np)
+        chunk0 = np.broadcast_to(seed_limbs[None, 0], (n, limb.NLIMB))
+        fes = np.stack([chunk0, chunk1], axis=1)
+        out = pj.sponge_fes(fes, b"zkl/winter/hash/merge_with_int", np)
+        self.counter += n
+        return [int(v) for v in limb.to_ints(out)]
 
     def draw_integers(self, num_values: int, domain_size: int,
                       nonce: int) -> List[int]:
