@@ -166,7 +166,32 @@ def get_rom_suite(suite_id: bytes):
 # Permutation / sponge (host reference)
 # ---------------------------------------------------------------------------
 
+_NATIVE_SUITE_BYTES: Dict[Tuple[Tuple[int, int], int], Tuple[bytes, bytes]] = {}
+
+
+def _native_suite_bytes(suite: "PoseidonSuite"):
+    key = (suite.dom, len(suite.rc))
+    hit = _NATIVE_SUITE_BYTES.get(key)
+    if hit is None:
+        pack = lambda vals: b"".join(int(v).to_bytes(16, "little")
+                                     for v in vals)
+        hit = (pack(v for row in suite.mds for v in row),
+               pack(v for row in suite.rc for v in row))
+        _NATIVE_SUITE_BYTES[key] = hit
+    return hit
+
+
 def permute_12(state: List[int], suite: PoseidonSuite) -> List[int]:
+    from .. import native
+    if native.available():
+        # ~30x the pure-Python round loop; this sits behind every
+        # scalar merge/hash_elements/merge_with_int on the host.
+        mds_b, rc_b = _native_suite_bytes(suite)
+        inp = b"".join(int(v).to_bytes(16, "little") for v in state)
+        raw = native.poseidon12_batch_raw(inp, mds_b, rc_b, 1,
+                                          len(suite.rc))
+        return [int.from_bytes(raw[16 * i:16 * (i + 1)], "little")
+                for i in range(12)]
     s = list(state)
     for rc_r in suite.rc:
         s = [(v * v % P) * v % P for v in s]
