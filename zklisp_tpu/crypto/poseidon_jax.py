@@ -101,8 +101,7 @@ def permute12_batch(states, suite_id: bytes, xp, rounds: int | None = None):
             w_hi = xp.asarray(w_hi)
 
         def body(s, rc_r):
-            s2 = limb.mul(s, s, xp)
-            s3 = limb.mul(s2, s, xp)
+            s3 = limb.cube(s, xp)
             if use_mxu:
                 y = mxu.field_matmul(s3, w_lo, w_hi, xp)
             else:

@@ -436,6 +436,40 @@ def _reduce_wide(wide_limbs, xp):
     return _reduce_cols_xla(cols, xp, bound)
 
 
+def _staircase_rect(mat, xp):
+    """(..., R, C) -> (..., R+C-1) anti-diagonal sums (generalized
+    _staircase_sum).  Entries must keep 16-bit column sums in u32."""
+    lead = mat.shape[:-2]
+    R, C = mat.shape[-2], mat.shape[-1]
+    W = C + R - 1
+    padded = xp.pad(mat, [(0, 0)] * (mat.ndim - 2) + [(0, 0), (0, R)])
+    flat = padded.reshape(lead + (R * (C + R),))[..., :R * W]
+    return xp.sum(flat.reshape(lead + (R, W)), axis=-2, dtype=xp.uint32)
+
+
+def cube(a, xp):
+    """a^3 mod p with ONE fewer full reduction than mul(mul(a,a),a).
+
+    The square is kept as exact 16 base-2^16 digits (normalized, not
+    folded) and convolved directly with a's limbs; a single reduction
+    folds the ~2^384 product.  Poseidon's x^3 S-box is the VPU hot spot
+    of every commitment, so the saved normalize/fold passes matter.
+    """
+    if xp is _np:
+        return _mul_numpy_u64(_mul_numpy_u64(a, a), a)
+    # exact digits of a^2 (a < 2^128 -> a^2 < 2^256 -> 16 digits)
+    outer = a[..., :, None] * a[..., None, :]
+    cols2 = _antidiag16(outer & LIMB_MASK, outer >> 16, xp)
+    d2 = _normalize_cols(cols2, xp)[..., :16]
+    # a^3 columns: conv(d2[16], a[8]) -> 23 columns; all u32-safe
+    prod = d2[..., :, None] * a[..., None, :]          # (..., 16, 8)
+    lo = _staircase_rect(prod & LIMB_MASK, xp)         # (..., 23)
+    hi = _staircase_rect(prod >> 16, xp)
+    W = 24
+    cols3 = (_place(lo, 0, W, xp) + _place(hi, 1, W, xp))
+    return _reduce_cols_xla(cols3, xp, ((1 << 256) - 1) * ((1 << 128) - 1))
+
+
 def sqr(a, xp):
     return mul(a, a, xp)
 

@@ -169,8 +169,7 @@ def _scan_rounds(lanes_cur, lanes_nxt, gate, gr, mds, rc, a_round,
     import jax
     N = lanes_cur.shape[1]
     reps = N // gr.shape[1]
-    s2 = limb.mul(lanes_cur, lanes_cur, xp)
-    s3 = limb.mul(s2, lanes_cur, xp)                # (L, N, 8)
+    s3 = limb.cube(lanes_cur, xp)                   # (L, N, 8)
 
     def tile(col):
         if reps == 1:

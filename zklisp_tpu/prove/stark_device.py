@@ -88,6 +88,7 @@ def _lde_polys_fn(n: int, blowup: int):
                                           inverse=True))
 
     def one(col):
+        col = col.astype(jnp.uint32)
         poly = ntt.intt(col, jnp, pows_inv=jnp.asarray(pows_i))
         return poly, ntt.coset_evaluate(poly, blowup, jnp,
                                         pows=jnp.asarray(pows_f))
@@ -443,10 +444,13 @@ def prove_trace_device(trace, air: ZkLispAir, air_pi,
     context = ProofContext(w, n, options)
     Q = air.ce_blowup()
 
-    # stage 1: trace polys + LDE
+    # stage 1: trace polys + LDE.  Ship the trace as uint16 (limbs are
+    # 16-bit) — halves the host->device transfer over the tunnel — and
+    # widen to u32 inside the jit.
     with phase("lde", rows=n, width=w):
-        cols_limbs = jnp.asarray(trace.to_limbs())
-        trace_polys, trace_lde = _lde_polys_fn(n, blowup)(cols_limbs)
+        cols_u16 = _np.asarray(trace.to_limbs(), dtype=_np.uint16)
+        trace_polys, trace_lde = _lde_polys_fn(n, blowup)(
+            jnp.asarray(cols_u16))
         trace_lde.block_until_ready()
 
     # stage 2: trace commitment
