@@ -143,20 +143,25 @@ def prove_segment(suite_id: bytes, rom_acc: Tuple[int, int, int],
         rom=rom_enabled)
     seg_layout = tb.SegmentLayout(Columns.baseline(), layout_cfg)
 
-    trace, state_in_hash, state_out_hash = \
-        tb.build_segment_trace_with_state(full_trace, seg, seg_layout,
-                                          prev_state)
+    from ..utils.tracing import phase
+    with phase("segment_trace", rows=seg.r_end - seg.r_start):
+        trace, state_in_hash, state_out_hash = \
+            tb.build_segment_trace_with_state(full_trace, seg, seg_layout,
+                                              prev_state)
 
-    boundaries = segment_boundaries_from_full(full_trace, seg)
+    with phase("boundaries"):
+        boundaries = segment_boundaries_from_full(full_trace, seg)
 
     num_partitions, hash_rate = select_partitions_for_trace(
         trace.width, trace.length)
     wf_opts = base_opts.with_partitions(num_partitions, hash_rate)
 
-    air_pi = build_air_pi_for_trace(
-        pub_inputs, eff_mask, rom_acc, seg_layout.cols, boundaries, trace)
-    pi_len = len(air_pi.to_elements())
-    air = ZkLispAir(trace.width, trace.length, air_pi)
+    with phase("air_pi"):
+        air_pi = build_air_pi_for_trace(
+            pub_inputs, eff_mask, rom_acc, seg_layout.cols, boundaries,
+            trace)
+        pi_len = len(air_pi.to_elements())
+        air = ZkLispAir(trace.width, trace.length, air_pi)
 
     # ZKL_PREFLIGHT env (prove.rs:128-136): run the row-wise constraint
     # check with the exact prover AIR before proving.

@@ -303,7 +303,7 @@ def _host_tables(air: ZkLispAir, groups, blowup: int):
     wN = f128.get_root_of_unity(N)
     k = n // cycle
 
-    cyc_divp = []
+    cyc_divp = _np.zeros((0, dperiod, limb.NLIMB), dtype=_np.uint32)
     if cyc:
         xk_vals = []
         cur = pow(OFFSET, k, P)
@@ -320,10 +320,11 @@ def _host_tables(air: ZkLispAir, groups, blowup: int):
                     prod = prod * ((xv - r) % P) % P
                 flat.append(prod)
         inv_flat = f128.batch_inv(flat)
-        cyc_divp = [inv_flat[i * dperiod:(i + 1) * dperiod]
-                    for i in range(len(cyc))]
+        cyc_divp = _np.asarray(limb.from_ints(
+            [inv_flat[i * dperiod:(i + 1) * dperiod]
+             for i in range(len(cyc))]), dtype=_np.uint32)
 
-    sgl_div = []
+    sgl_div = _np.zeros((0, N, limb.NLIMB), dtype=_np.uint32)
     if sgl:
         xs = lde_points_host(n, blowup)
         flat = []
@@ -331,7 +332,9 @@ def _host_tables(air: ZkLispAir, groups, blowup: int):
             gs = pow(g, grp.step, P)
             flat.extend((x - gs) % P for x in xs)
         inv_flat = f128.batch_inv(flat)
-        sgl_div = [inv_flat[i * N:(i + 1) * N] for i in range(len(sgl))]
+        sgl_div = _np.asarray(limb.from_ints(
+            [inv_flat[i * N:(i + 1) * N] for i in range(len(sgl))]),
+            dtype=_np.uint32)
 
     out = (per_p, p_last, zinv, cyc_pos, cyc_divp, sgl_pos, sgl_div,
            dperiod)
@@ -508,12 +511,12 @@ def prove_trace_device(trace, air: ZkLispAir, air_pi,
     cyc_idx[:len(cyc)] = [g.column for g in cyc]
     cyc_divp_a = _np.zeros((ngc, dperiod, limb.NLIMB), dtype=_np.uint32)
     if cyc:
-        cyc_divp_a[:len(cyc)] = _np.asarray(limb.from_ints(cyc_divp))
+        cyc_divp_a[:len(cyc)] = cyc_divp
     sgl_idx = _np.zeros(max(ngs, 1), dtype=_np.int32)
     sgl_div_a = _np.zeros((max(ngs, 1), N, limb.NLIMB), dtype=_np.uint32)
     if sgl:
         sgl_idx[:len(sgl)] = [g.column for g in sgl]
-        sgl_div_a[:len(sgl)] = _np.asarray(limb.from_ints(sgl_div))
+        sgl_div_a[:len(sgl)] = sgl_div
 
     with phase("quotient"):
         q_polys, q_lde = _quotient_fn(n, blowup, Q, ngc, ngs, dperiod)(
