@@ -175,7 +175,14 @@ def prove_segment(suite_id: bytes, rom_acc: Tuple[int, int, int],
     meta = StepMeta.from_env(trace.length, wf_opts, min_bits, pi_len)
     if _device_mode():
         from .stark_device import prove_trace_device
-        inner = prove_trace_device(trace, air, air_pi, wf_opts)
+        # segment limbs as a numpy slice of the cached full-trace u16
+        # array (converting ~1M Python ints per segment costs seconds)
+        full16 = full_trace.to_limbs16()
+        seg16 = _np.ascontiguousarray(
+            full16[seg_layout.seg_to_full,
+                   seg.r_start:seg.r_end])
+        inner = prove_trace_device(trace, air, air_pi, wf_opts,
+                                   limbs16=seg16)
     else:
         inner = stark.prove_trace(trace, air, air_pi, wf_opts, _xp())
 

@@ -437,7 +437,8 @@ def _x0_tables(size: int):
 # ---------------------------------------------------------------------------
 
 def prove_trace_device(trace, air: ZkLispAir, air_pi,
-                       options: ProofOptions) -> StarkProof:
+                       options: ProofOptions,
+                       limbs16: _np.ndarray | None = None) -> StarkProof:
     from ..utils.tracing import phase
     jnp = _jnp()
     n = trace.length
@@ -451,7 +452,8 @@ def prove_trace_device(trace, air: ZkLispAir, air_pi,
     # 16-bit) — halves the host->device transfer over the tunnel — and
     # widen to u32 inside the jit.
     with phase("lde", rows=n, width=w):
-        cols_u16 = _np.asarray(trace.to_limbs(), dtype=_np.uint16)
+        cols_u16 = (limbs16 if limbs16 is not None
+                    else _np.asarray(trace.to_limbs(), dtype=_np.uint16))
         trace_polys, trace_lde = _lde_polys_fn(n, blowup)(
             jnp.asarray(cols_u16))
         trace_lde.block_until_ready()

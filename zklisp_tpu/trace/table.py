@@ -15,12 +15,13 @@ from ..field import limb
 
 
 class TraceTable:
-    __slots__ = ("width", "length", "cols")
+    __slots__ = ("width", "length", "cols", "_limbs16")
 
     def __init__(self, width: int, length: int) -> None:
         self.width = width
         self.length = length
         self.cols: List[List[int]] = [[0] * length for _ in range(width)]
+        self._limbs16 = None
 
     def get(self, col: int, row: int) -> int:
         return self.cols[col][row]
@@ -37,6 +38,20 @@ class TraceTable:
     def to_limbs(self, xp=np):
         """(width, length, 8) limb array for device consumption."""
         return limb.from_ints([self.cols[c] for c in range(self.width)], xp)
+
+    def to_limbs16(self) -> np.ndarray:
+        """(width, length, 8) uint16 limb array, cached on the table.
+
+        Converting ~1M Python ints per segment cost seconds; the full
+        trace converts once and segments numpy-slice it.  Callers must
+        not mutate the table after the first call (builders fill before
+        the prover ever reads this).
+        """
+        if self._limbs16 is None:
+            self._limbs16 = np.asarray(
+                limb.from_ints([self.cols[c] for c in range(self.width)]),
+                dtype=np.uint16)
+        return self._limbs16
 
     def slice_rows(self, r_start: int, r_end: int,
                    col_map: List[int] | None = None) -> "TraceTable":
