@@ -23,14 +23,29 @@ _lib = None
 _tried = False
 
 
-def _build() -> bool:
+def _build(dst: str = _SO) -> bool:
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC],
+            ["g++", "-O3", "-shared", "-fPIC", "-o", dst, _SRC],
             check=True, capture_output=True, timeout=120)
         return True
     except Exception:
         return False
+
+
+_SYMBOLS = ("f128_mul_batch", "f128_add_batch", "rom_chain",
+            "poseidon12_levels", "poseidon12_batch")
+
+
+def _open(path: str = _SO):
+    """CDLL-open `path` and check every required symbol is exported."""
+    try:
+        lib = ctypes.CDLL(path)
+        for name in _SYMBOLS:
+            getattr(lib, name)
+        return lib
+    except (OSError, AttributeError):
+        return None
 
 
 def _load():
@@ -43,10 +58,22 @@ def _load():
                 os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
             if not _build():
                 return None
-        try:
-            lib = ctypes.CDLL(_SO)
-        except OSError:
-            return None
+        lib = _open()
+        if lib is None:
+            # A stale or foreign-platform binary (e.g. restored from git
+            # with a fresh mtime) lacks newer symbols.  dlopen caches by
+            # path, so rebuild under a unique temp name, load that, and
+            # install it as the canonical .so for the next process.
+            tmp = _SO + ".rebuild.%d" % os.getpid()
+            if not _build(tmp):
+                return None
+            lib = _open(tmp)
+            if lib is None:
+                return None
+            try:
+                os.replace(tmp, _SO)
+            except OSError:
+                pass
         lib.f128_mul_batch.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
                                        ctypes.c_char_p, ctypes.c_size_t]
         lib.f128_add_batch.argtypes = lib.f128_mul_batch.argtypes
