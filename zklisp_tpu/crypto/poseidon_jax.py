@@ -91,6 +91,11 @@ def permute12_batch(states, suite_id: bytes, xp, rounds: int | None = None):
 
         from ..field import mxu
 
+        # Fused Pallas kernel (TPU backend): all rounds resident in VMEM.
+        from . import poseidon_pallas as pp
+        if pp.enabled():
+            return pp.permute12(states, bytes(suite_id), rounds)
+
         # MDS layer as an MXU matmul over limb columns: out = s3 @ M^T
         # (wmat rows are the j-index, so pass the transposed MDS).
         # ZKL_NO_MXU_POSEIDON=1 forces the VPU limb.dot path (A/B).

@@ -1,0 +1,258 @@
+"""Fused Poseidon2 t=12 permutation as a Pallas TPU kernel.
+
+The XLA scan path (poseidon_jax.permute12_batch) round-trips the full
+(B, 12, 8) state through HBM several times per round (cube columns,
+normalize, MDS, add), which makes Merkle leaf hashing HBM-bound.  This
+kernel keeps a block of states resident in VMEM across all 27 rounds and
+fuses cube + MDS + round-constant injection into one pass.
+
+Layout: the kernel works limbs-first — state (12 lanes, 8 limbs, B) so
+the batch axis is the TPU lane (minor) dimension and the 8-limb axis sits
+on sublanes.  The (B, 12, 8) limb layout used everywhere else would put
+the 8-wide limb axis on the 128-wide lane dimension (16x waste).  The
+transposes at the kernel boundary are two full-bandwidth HBM passes and
+amortize over 27 fused rounds.
+
+All arithmetic is uint32 with the same bounds discipline as field/limb.py
+(16x16-bit products exact in u32, carry-lookahead normalization via the
+packed-bit adder identity); the round constants are folded into the MDS
+product columns before the single modular reduction, so each round costs
+exactly two reductions (cube, MDS+rc).
+
+Reference: zk-lisp runs scalar Rust Poseidon on CPU threads
+(zk-lisp-proof-winterfell/src/poseidon/mod.rs); this is the TPU-native
+replacement for the batched permutation underneath Merkle commitments,
+FRI layer commits, grinding and sponge hashing.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache, partial
+
+import numpy as _np
+
+from ..field import f128
+from ..field.limb import C_LIMBS, LIMB_MASK, NLIMB, P_LIMBS
+from . import poseidon as pos
+
+BLOCK = 256          # batch lanes per kernel instance (2 vregs wide)
+
+
+def _pad2(x, lo: int, hi: int, jnp):
+    cfg = [(0, 0)] * x.ndim
+    cfg[-2] = (lo, hi)
+    return jnp.pad(x, cfg)
+
+
+def _place2(cols, offset: int, width: int, jnp):
+    """Zero-pad base-2^16 columns (axis -2) to `width`, shifted by offset."""
+    return _pad2(cols, offset, width - offset - cols.shape[-2], jnp)
+
+
+def _antidiag_lf(lo_mat, hi_mat, width: int, jnp):
+    """(..., R, C, B) product halves -> (..., width, B) column sums.
+
+    col[k] = sum_{i+j=k} lo[i, j]  +  sum_{i+j=k-1} hi[i, j]
+    (the >>16 halves land one base-2^16 digit higher).
+    """
+    R = lo_mat.shape[-3]
+    acc = None
+    for i in range(R):
+        t = (_place2(lo_mat[..., i, :, :], i, width, jnp)
+             + _place2(hi_mat[..., i, :, :], i + 1, width, jnp))
+        acc = t if acc is None else acc + t
+    return acc
+
+
+def _normalize_lf(cols, jnp):
+    """u32 columns (..., K, B) -> canonical 16-bit digits (..., K+2, B).
+
+    Same algorithm as limb._normalize_cols with the digit axis moved to
+    -2: one lo/hi split bounds each column by 2^17-2, then the full carry
+    ripple resolves in O(1) vector ops via C = ((G<<1) + P) ^ P.
+    """
+    import jax
+
+    K = cols.shape[-2]
+    assert K + 2 <= 32
+    lo = cols & LIMB_MASK
+    hi = cols >> 16
+    t = _place2(lo, 0, K + 2, jnp) + _place2(hi, 1, K + 2, jnp)
+    g = (t >> 16).astype(jnp.uint32)
+    p = ((t & LIMB_MASK) == LIMB_MASK).astype(jnp.uint32)
+    w = jax.lax.broadcasted_iota(jnp.uint32, (K + 2, t.shape[-1]), 0)
+    G = jnp.sum(g << w, axis=-2, dtype=jnp.uint32)
+    Pm = jnp.sum(p << w, axis=-2, dtype=jnp.uint32)
+    C = ((G << 1) + Pm) ^ Pm
+    cbits = (C[..., None, :] >> w) & jnp.uint32(1)
+    return (t + cbits) & LIMB_MASK
+
+
+def _fold_lf(digits, jnp):
+    """Canonical digits (..., K, B), K > 8: value -> lo + (value>>128)*C."""
+    K = digits.shape[-2]
+    lo = digits[..., :NLIMB, :]
+    hi = digits[..., NLIMB:, :]
+    W = max(NLIMB, (K - NLIMB) + 4)
+    acc = _place2(lo, 0, W, jnp)
+    for l, cv in enumerate(C_LIMBS):
+        pr = hi * jnp.uint32(cv)
+        acc = acc + _place2(pr & LIMB_MASK, l, W, jnp)
+        acc = acc + _place2(pr >> 16, l + 1, W, jnp)
+    return acc
+
+
+def _ndigits(bound: int) -> int:
+    return max(1, (bound.bit_length() + 15) // 16)
+
+
+_P_COMPL = _np.asarray(
+    [(0xFFFF - P_LIMBS[0]) + 1] + [0xFFFF - v for v in P_LIMBS[1:]],
+    dtype=_np.uint32)[:, None]                     # (8, 1): broadcast over B
+
+
+def _cond_sub_lf(d, pcompl, jnp):
+    """d (..., 8, B) canonical digits < 2^128: subtract p if >= p.
+
+    pcompl: (8, 1) two's complement of p (passed in: Pallas kernels may
+    not capture array constants)."""
+    t = d + pcompl
+    nt = _normalize_lf(t, jnp)
+    ge = nt[..., NLIMB, :] > 0
+    return jnp.where(ge[..., None, :], nt[..., :NLIMB, :], d)
+
+
+def _reduce_lf(cols, bound: int, pcompl, jnp):
+    """(..., K, B) u32 columns, value <= bound -> canonical (..., 8, B)."""
+    d = _normalize_lf(cols, jnp)[..., :_ndigits(bound), :]
+    while d.shape[-2] > NLIMB + 1:
+        bound = (bound >> 128) * f128.C128 + min(bound, (1 << 128) - 1)
+        d = _normalize_lf(_fold_lf(d, jnp), jnp)[..., :_ndigits(bound), :]
+    if d.shape[-2] > NLIMB:
+        d = _normalize_lf(_fold_lf(d, jnp), jnp)[..., :NLIMB + 1, :]
+        d = _normalize_lf(_fold_lf(d, jnp), jnp)
+    d = d[..., :NLIMB, :]
+    if d.shape[-2] < NLIMB:
+        d = _place2(d, 0, NLIMB, jnp)
+    return _cond_sub_lf(d, pcompl, jnp)
+
+
+def _cube_lf(a, pcompl, jnp):
+    """a^3 mod p, limbs-first: (..., 8, B) -> (..., 8, B).
+
+    Port of limb.cube: exact 16-digit square, convolved with a, one
+    reduction."""
+    outer = a[..., :, None, :] * a[..., None, :, :]      # (..., 8, 8, B)
+    cols2 = _antidiag_lf(outer & LIMB_MASK, outer >> 16, 17, jnp)
+    d2 = _normalize_lf(cols2, jnp)[..., :16, :]
+    prod = d2[..., :, None, :] * a[..., None, :, :]      # (..., 16, 8, B)
+    cols3 = _antidiag_lf(prod & LIMB_MASK, prod >> 16, 24, jnp)
+    return _reduce_lf(cols3, ((1 << 256) - 1) * ((1 << 128) - 1),
+                      pcompl, jnp)
+
+
+def _mds_rc_lf(s3, mds, rc_r, pcompl, jnp):
+    """MDS matmul + round-constant add with ONE reduction.
+
+    s3: (12, 8, B) cubed lanes.  mds: (12, 12, 8) uint32 limbs (loaded
+    from a kernel operand).  rc_r: (12, 8) uint32 limbs for this round.
+    The rc digits are added into the product columns before reduction
+    (offset 0), so the add is free.
+    """
+    t = mds.shape[0]
+    acc_lo = None
+    acc_hi = None
+    for j in range(t):
+        w = mds[:, j, :, None, None]                     # (12, 8, 1, 1)
+        prod = w * s3[j][None, None, :, :]               # (12, 8, 8, B)
+        lo = prod & LIMB_MASK
+        hi = prod >> 16
+        acc_lo = lo if acc_lo is None else acc_lo + lo
+        acc_hi = hi if acc_hi is None else acc_hi + hi
+    cols = _antidiag_lf(acc_lo, acc_hi, 17, jnp)         # (12, 17, B)
+    cols = cols + _place2(rc_r[:, :, None], 0, 17, jnp)
+    bound = t * (f128.P - 1) ** 2 + (f128.P - 1)
+    return _reduce_lf(cols, bound, pcompl, jnp)
+
+
+@lru_cache(maxsize=None)
+def _suite_np(suite_id: bytes, rounds: int):
+    from ..field import limb
+    s = pos.get_poseidon_suite(suite_id, rounds)
+    return limb.from_ints(s.mds), limb.from_ints(s.rc)
+
+
+@lru_cache(maxsize=None)
+def _permute_fn(suite_id: bytes, rounds: int, interpret: bool):
+    """Builds the jittable (12, 8, B) -> (12, 8, B) fused permutation."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    mds_np, rc_np = _suite_np(suite_id, rounds)
+
+    def kernel(s_ref, mds_ref, rc_ref, pc_ref, o_ref):
+        s = s_ref[...]
+        mds = mds_ref[...]
+        pcompl = pc_ref[...]
+        for r in range(rounds):
+            s3 = _cube_lf(s, pcompl, jnp)
+            s = _mds_rc_lf(s3, mds, rc_ref[r], pcompl, jnp)
+        o_ref[...] = s
+
+    def run(states_lf):
+        B = states_lf.shape[-1]
+        assert B % BLOCK == 0
+        nb = B // BLOCK
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(states_lf.shape, jnp.uint32),
+            in_specs=[
+                pl.BlockSpec((12, NLIMB, BLOCK), lambda i: (0, 0, i)),
+                pl.BlockSpec((12, 12, NLIMB), lambda i: (0, 0, 0)),
+                pl.BlockSpec((rounds, 12, NLIMB), lambda i: (0, 0, 0)),
+                pl.BlockSpec((NLIMB, 1), lambda i: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((12, NLIMB, BLOCK), lambda i: (0, 0, i)),
+            grid=(nb,),
+            interpret=interpret,
+        )(states_lf, jnp.asarray(mds_np), jnp.asarray(rc_np),
+          jnp.asarray(_P_COMPL))
+
+    return run
+
+
+def enabled() -> bool:
+    """Pallas permutation is used on the TPU backend unless disabled."""
+    if os.environ.get("ZKL_NO_PALLAS_POSEIDON"):
+        return False
+    try:
+        import jax
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def permute12(states, suite_id: bytes, rounds: int,
+              interpret: bool = False):
+    """(..., 12, 8) uint32 limb states -> full Poseidon2 permutation.
+
+    Drop-in replacement for the scan path of permute12_batch: flattens
+    the batch, transposes to limbs-first, pads the batch to a BLOCK
+    multiple, runs the fused kernel, and restores the caller's layout.
+    """
+    import jax.numpy as jnp
+
+    lead = states.shape[:-2]
+    B = 1
+    for d in lead:
+        B = B * d
+    flat = states.reshape((B, 12, NLIMB))
+    Bp = -(-B // BLOCK) * BLOCK
+    if Bp != B:
+        flat = jnp.pad(flat, [(0, Bp - B), (0, 0), (0, 0)])
+    lf = jnp.transpose(flat, (1, 2, 0))                  # (12, 8, Bp)
+    out = _permute_fn(bytes(suite_id), rounds, interpret)(lf)
+    res = jnp.transpose(out, (2, 0, 1))[:B]
+    return res.reshape(lead + (12, NLIMB))
