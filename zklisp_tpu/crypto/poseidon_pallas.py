@@ -75,15 +75,17 @@ def _normalize_lf(cols, jnp):
     import jax
 
     K = cols.shape[-2]
-    assert K + 2 <= 32
+    assert K + 2 <= 31          # packed bits must stay positive in int32
     lo = cols & LIMB_MASK
     hi = cols >> 16
     t = _place2(lo, 0, K + 2, jnp) + _place2(hi, 1, K + 2, jnp)
     g = (t >> 16).astype(jnp.uint32)
     p = ((t & LIMB_MASK) == LIMB_MASK).astype(jnp.uint32)
     w = jax.lax.broadcasted_iota(jnp.uint32, (K + 2, t.shape[-1]), 0)
-    G = jnp.sum(g << w, axis=-2, dtype=jnp.uint32)
-    Pm = jnp.sum(p << w, axis=-2, dtype=jnp.uint32)
+    # Mosaic has no unsigned reductions; the packed bits are one per
+    # column (< 2^31), so the sums are exact in int32.
+    G = jnp.sum((g << w).astype(jnp.int32), axis=-2).astype(jnp.uint32)
+    Pm = jnp.sum((p << w).astype(jnp.int32), axis=-2).astype(jnp.uint32)
     C = ((G << 1) + Pm) ^ Pm
     cbits = (C[..., None, :] >> w) & jnp.uint32(1)
     return (t + cbits) & LIMB_MASK
@@ -155,8 +157,14 @@ def _cube_lf(a, pcompl, jnp):
 def _mds_rc_lf(s3, mds, rc_r, pcompl, jnp):
     """MDS matmul + round-constant add with ONE reduction.
 
-    s3: (12, 8, B) cubed lanes.  mds: (12, 12, 8) uint32 limbs (loaded
-    from a kernel operand).  rc_r: (12, 8) uint32 limbs for this round.
+    s3: (12, 8, B) cubed lanes.  mds: (12, 12, 8, B) uint32 limbs in
+    j-major order, pre-broadcast over the lane axis on the host
+    (mds[j, i, l, :] = limb l of MDS[i][j]).  The broadcast spends VMEM
+    (~4.7 MB at BLOCK=256) to keep every in-kernel reshape of the form
+    "insert axis before last" — the only expansion Mosaic's layout
+    inference accepts here ((12,8) -> (12,8,1,1) is an unsupported
+    shape cast; leading-axis indexing only, mid-axis indexing lowers to
+    an unsupported gather).  rc_r: (12, 8) uint32 limbs for this round.
     The rc digits are added into the product columns before reduction
     (offset 0), so the add is free.
     """
@@ -164,7 +172,7 @@ def _mds_rc_lf(s3, mds, rc_r, pcompl, jnp):
     acc_lo = None
     acc_hi = None
     for j in range(t):
-        w = mds[:, j, :, None, None]                     # (12, 8, 1, 1)
+        w = mds[j][:, :, None, :]                        # (12, 8, 1, B)
         prod = w * s3[j][None, None, :, :]               # (12, 8, 8, B)
         lo = prod & LIMB_MASK
         hi = prod >> 16
@@ -178,9 +186,11 @@ def _mds_rc_lf(s3, mds, rc_r, pcompl, jnp):
 
 @lru_cache(maxsize=None)
 def _suite_np(suite_id: bytes, rounds: int):
+    """Returns (mds_jil, rc): MDS transposed to j-major (see _mds_rc_lf)."""
     from ..field import limb
     s = pos.get_poseidon_suite(suite_id, rounds)
-    return limb.from_ints(s.mds), limb.from_ints(s.rc)
+    mds = limb.from_ints(s.mds)                      # (i, j, 8)
+    return _np.ascontiguousarray(mds.transpose(1, 0, 2)), limb.from_ints(s.rc)
 
 
 @lru_cache(maxsize=None)
@@ -201,6 +211,10 @@ def _permute_fn(suite_id: bytes, rounds: int, interpret: bool):
             s = _mds_rc_lf(s3, mds, rc_ref[r], pcompl, jnp)
         o_ref[...] = s
 
+    # MDS pre-broadcast over the lane axis (see _mds_rc_lf docstring).
+    mds_b = _np.ascontiguousarray(
+        _np.broadcast_to(mds_np[:, :, :, None], mds_np.shape + (BLOCK,)))
+
     def run(states_lf):
         B = states_lf.shape[-1]
         assert B % BLOCK == 0
@@ -210,14 +224,15 @@ def _permute_fn(suite_id: bytes, rounds: int, interpret: bool):
             out_shape=jax.ShapeDtypeStruct(states_lf.shape, jnp.uint32),
             in_specs=[
                 pl.BlockSpec((12, NLIMB, BLOCK), lambda i: (0, 0, i)),
-                pl.BlockSpec((12, 12, NLIMB), lambda i: (0, 0, 0)),
+                pl.BlockSpec((12, 12, NLIMB, BLOCK),
+                             lambda i: (0, 0, 0, 0)),
                 pl.BlockSpec((rounds, 12, NLIMB), lambda i: (0, 0, 0)),
                 pl.BlockSpec((NLIMB, 1), lambda i: (0, 0)),
             ],
             out_specs=pl.BlockSpec((12, NLIMB, BLOCK), lambda i: (0, 0, i)),
             grid=(nb,),
             interpret=interpret,
-        )(states_lf, jnp.asarray(mds_np), jnp.asarray(rc_np),
+        )(states_lf, jnp.asarray(mds_b), jnp.asarray(rc_np),
           jnp.asarray(_P_COMPL))
 
     return run
