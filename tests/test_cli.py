@@ -71,4 +71,20 @@ def test_repl_session(capsys):
     text = out.getvalue()
     assert "ok" in text and "49" in text
     s.handle(":cost (sq 9)", out)
-    assert "trace_rows" in out.getvalue()
+    text = out.getvalue()
+    assert "cost: rows=" in text and "metrics: peak_live=" in text
+
+
+def test_repl_cost_op_classes():
+    """repl.rs compute_cost parity: per-op-class counts (repl.rs:944)."""
+    import io
+
+    from zklisp_tpu.repl import ReplSession
+    s = ReplSession()
+    out = io.StringIO()
+    s.handle(":cost (hash2 3 4)", out)
+    text = out.getvalue()
+    assert "sponge_absorb_calls=1" in text
+    assert "sponge_absorb_elems=2" in text
+    assert "squeeze_calls=1" in text
+    assert "merkle_steps=0" in text

@@ -16,7 +16,6 @@ from .agg import aggregate as agg
 from .compiler import CompileError, compile_str, reader
 from .core.pi import PublicInputsBuilder
 from .prove.params import ProverOptions
-from .trace.layout import STEPS_PER_LEVEL_P2
 
 HELP = """\
 Commands:
@@ -61,13 +60,36 @@ class ReplSession:
             print(f"loaded {path}", file=out)
             return
         if line.startswith(":cost "):
+            # repl.rs:362-396 / compute_cost (repl.rs:944): run the VM
+            # for the true trace length, then per-op-class cost counts
+            # plus compiler metrics.
             expr = line[6:]
-            prog = compile_str(self.source_with(expr))
-            levels = len(prog.ops)
-            total = max(1, 1 << (levels - 1).bit_length())
-            rows = total * STEPS_PER_LEVEL_P2
-            print(f"ops={levels} levels={total} trace_rows={rows}",
+            from .compiler import compile_entry, ops as O
+            wrapped = self.source_with(f"(def (--repl-cost--) {expr})"
+                                       f"\n(def (main) (--repl-cost--))")
+            prog = compile_entry(wrapped, [])
+            pi = PublicInputsBuilder(prog).build()
+            rows = frontend.run_vm(prog, pi).trace_len
+            absorb_calls = absorb_elems = squeezes = merkle = 0
+            for op in prog.ops:
+                if isinstance(op, O.SAbsorbN):
+                    absorb_calls += 1
+                    absorb_elems += len(op.regs)
+                elif isinstance(op, O.SSqueeze):
+                    squeezes += 1
+                elif isinstance(op, (O.MerkleStepFirst, O.MerkleStep,
+                                     O.MerkleStepLast)):
+                    merkle += 1
+            print(f"cost: rows={rows}, ops={len(prog.ops)}, "
+                  f"sponge_absorb_calls={absorb_calls}, "
+                  f"sponge_absorb_elems={absorb_elems}, "
+                  f"squeeze_calls={squeezes}, merkle_steps={merkle}",
                   file=out)
+            m = prog.compiler_metrics
+            print(f"metrics: peak_live={m.peak_live} "
+                  f"reuse_dst={m.reuse_dst} su_reorders={m.su_reorders} "
+                  f"balanced_chains={m.balanced_chains} "
+                  f"mov_elided={m.mov_elided}", file=out)
             return
         if line.startswith(":prove "):
             expr = line[7:]
