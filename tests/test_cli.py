@@ -75,6 +75,28 @@ def test_repl_session(capsys):
     assert "cost: rows=" in text and "metrics: peak_live=" in text
 
 
+def test_repl_docs_save_reset(tmp_path):
+    """repl.rs :docs/:save/:reset parity (repl.rs:224-323, 826)."""
+    import io
+
+    from zklisp_tpu.repl import ReplSession
+    s = ReplSession()
+    out = io.StringIO()
+    s.handle(";; squares x", out)
+    s.handle("(def (sq x) (* x x))", out)
+    s.handle(":docs", out)
+    text = out.getvalue()
+    assert "fn: sq" in text and "squares x" in text
+    path = tmp_path / "sess"
+    s.handle(f":save {path}", out)
+    saved = (tmp_path / "sess.zlisp").read_text()
+    assert "(def (sq x)" in saved
+    s.handle(":reset", out)
+    out2 = io.StringIO()
+    s.handle(":docs", out2)
+    assert "(none)" in out2.getvalue()
+
+
 def test_repl_cost_op_classes():
     """repl.rs compute_cost parity: per-op-class counts (repl.rs:944)."""
     import io

@@ -21,12 +21,70 @@ HELP = """\
 Commands:
   :help              show this help
   :load FILE         load definitions from a file into the session
+  :save PATH         write session definitions to a file
   :env               list session definitions
+  :docs              list defined names with doc comments (;; lines)
+  :reset             clear the session
   :cost EXPR         estimate proving cost (levels / rows) for EXPR
   :prove EXPR        prove EXPR with the session definitions
   :verify            verify the last :prove artifact
   :quit              exit
 Anything else is evaluated as a zk-lisp expression."""
+
+
+def _extract_def_kinds(src: str) -> dict:
+    """name -> 'fn' | 'var' for every (def ...) in src (repl.rs:779)."""
+    kinds = {}
+    i = 0
+    while True:
+        i = src.find("(def", i)
+        if i < 0:
+            break
+        j = i + 4
+        while j < len(src) and src[j].isspace():
+            j += 1
+        if j >= len(src):
+            break
+        if src[j] == "(":
+            kind = "fn"
+            j += 1
+            while j < len(src) and src[j].isspace():
+                j += 1
+        else:
+            kind = "var"
+        start = j
+        while j < len(src) and not src[j].isspace() and src[j] != ")":
+            j += 1
+        if j > start:
+            kinds[src[start:j]] = kind
+        i = j
+    return kinds
+
+
+def _extract_docs(src: str) -> dict:
+    """Doc-comment blocks: ';;' lines preceding a (def ...) (repl.rs:826)."""
+    docs = {}
+    pending: List[str] = []
+    for raw in src.splitlines():
+        line = raw.lstrip()
+        if line.startswith(";;"):
+            pending.append(line.lstrip(";").lstrip())
+            continue
+        if not line:
+            if pending:
+                pending.append("")
+            continue
+        if line.startswith("(def "):
+            if pending:
+                names = list(_extract_def_kinds(raw))
+                if names:
+                    text = "\n".join(pending).strip()
+                    if text:
+                        docs[names[0]] = text
+                pending.clear()
+        else:
+            pending.clear()
+    return docs
 
 
 class ReplSession:
@@ -41,6 +99,11 @@ class ReplSession:
         line = line.strip()
         if not line:
             return
+        if line.startswith(";"):
+            # comment-only input: keep it in the session so ';;' doc
+            # blocks attach to the next definition (:docs)
+            self.defs.append(line)
+            return
         if line in (":quit", ":q", ":exit"):
             raise EOFError
         if line in (":help", ":h"):
@@ -52,6 +115,41 @@ class ReplSession:
                 print(f"  [{i}] {first}", file=out)
             if not self.defs:
                 print("  (empty)", file=out)
+            return
+        if line == ":reset":
+            # repl.rs:224-231: drop session definitions and docs
+            self.defs.clear()
+            self.last_proof = None
+            print("session reset", file=out)
+            return
+        if line == ":docs":
+            # repl.rs:233-277: list defined names with kind + doc block
+            names = _extract_def_kinds("\n".join(self.defs))
+            if not names:
+                print("(none)", file=out)
+                return
+            docs = _extract_docs("\n".join(self.defs))
+            for name in sorted(names):
+                print(f"{names[name]}: {name}", file=out)
+                if name in docs:
+                    print("docs:", file=out)
+                    print(docs[name], file=out)
+                else:
+                    print("docs: (none)", file=out)
+                print(file=out)
+            return
+        if line.startswith(":save "):
+            # repl.rs:280-323: write session definitions to a file
+            path = line[6:].strip()
+            if not path:
+                print("error: usage: :save PATH", file=out)
+                return
+            if "." not in path.rsplit("/", 1)[-1]:
+                path += ".zlisp"
+            with open(path, "w") as f:
+                f.write("\n\n".join(d.strip() for d in self.defs) + "\n")
+            print(f"saved {len(self.defs)} definition(s) to {path}",
+                  file=out)
             return
         if line.startswith(":load "):
             path = line[6:].strip()
