@@ -97,6 +97,21 @@ def test_repl_docs_save_reset(tmp_path):
     assert "(none)" in out2.getvalue()
 
 
+def test_repl_prove_verify_roundtrip():
+    """:prove wraps the expression into a main entry (repl.rs:324-460)."""
+    import io
+
+    from zklisp_tpu.repl import ReplSession
+    s = ReplSession()
+    out = io.StringIO()
+    s.handle("(def (sq x) (* x x))", out)
+    s.handle(":prove (sq 4)", out)
+    text = out.getvalue()
+    assert "cost: rows=" in text and "proved in" in text
+    s.handle(":verify", out)
+    assert "verified OK" in out.getvalue()
+
+
 def test_repl_cost_op_classes():
     """repl.rs compute_cost parity: per-op-class counts (repl.rs:944)."""
     import io

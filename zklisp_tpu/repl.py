@@ -87,6 +87,32 @@ def _extract_docs(src: str) -> dict:
     return docs
 
 
+def _print_cost(prog, rows: int, out) -> None:
+    """Cost + compiler-metrics report (repl.rs:373-396, compute_cost
+    repl.rs:944): per-op-class counts over the compiled program."""
+    from .compiler import ops as O
+    absorb_calls = absorb_elems = squeezes = merkle = 0
+    for op in prog.ops:
+        if isinstance(op, O.SAbsorbN):
+            absorb_calls += 1
+            absorb_elems += len(op.regs)
+        elif isinstance(op, O.SSqueeze):
+            squeezes += 1
+        elif isinstance(op, (O.MerkleStepFirst, O.MerkleStep,
+                             O.MerkleStepLast)):
+            merkle += 1
+    print(f"cost: rows={rows}, ops={len(prog.ops)}, "
+          f"sponge_absorb_calls={absorb_calls}, "
+          f"sponge_absorb_elems={absorb_elems}, "
+          f"squeeze_calls={squeezes}, merkle_steps={merkle}",
+          file=out)
+    m = prog.compiler_metrics
+    print(f"metrics: peak_live={m.peak_live} "
+          f"reuse_dst={m.reuse_dst} su_reorders={m.su_reorders} "
+          f"balanced_chains={m.balanced_chains} "
+          f"mov_elided={m.mov_elided}", file=out)
+
+
 class ReplSession:
     def __init__(self) -> None:
         self.defs: List[str] = []
@@ -162,38 +188,26 @@ class ReplSession:
             # for the true trace length, then per-op-class cost counts
             # plus compiler metrics.
             expr = line[6:]
-            from .compiler import compile_entry, ops as O
+            from .compiler import compile_entry
             wrapped = self.source_with(f"(def (--repl-cost--) {expr})"
                                        f"\n(def (main) (--repl-cost--))")
             prog = compile_entry(wrapped, [])
             pi = PublicInputsBuilder(prog).build()
-            rows = frontend.run_vm(prog, pi).trace_len
-            absorb_calls = absorb_elems = squeezes = merkle = 0
-            for op in prog.ops:
-                if isinstance(op, O.SAbsorbN):
-                    absorb_calls += 1
-                    absorb_elems += len(op.regs)
-                elif isinstance(op, O.SSqueeze):
-                    squeezes += 1
-                elif isinstance(op, (O.MerkleStepFirst, O.MerkleStep,
-                                     O.MerkleStepLast)):
-                    merkle += 1
-            print(f"cost: rows={rows}, ops={len(prog.ops)}, "
-                  f"sponge_absorb_calls={absorb_calls}, "
-                  f"sponge_absorb_elems={absorb_elems}, "
-                  f"squeeze_calls={squeezes}, merkle_steps={merkle}",
-                  file=out)
-            m = prog.compiler_metrics
-            print(f"metrics: peak_live={m.peak_live} "
-                  f"reuse_dst={m.reuse_dst} su_reorders={m.su_reorders} "
-                  f"balanced_chains={m.balanced_chains} "
-                  f"mov_elided={m.mov_elided}", file=out)
+            _print_cost(prog, frontend.run_vm(prog, pi).trace_len, out)
             return
         if line.startswith(":prove "):
+            # repl.rs:324-460: wrap the expression into a main entry
+            # (compile_entry) so the result materializes into r0
             expr = line[7:]
-            src = self.source_with(expr)
-            prog = compile_str(src)
+            from .compiler import compile_entry
+            wrapped = self.source_with(
+                f"(def (--repl-expr--) {expr})"
+                f"\n(def (main) (--repl-expr--))")
+            prog = compile_entry(wrapped, [])
             pi = PublicInputsBuilder(prog).build()
+            # repl.rs:364-396: report cost + compiler metrics before
+            # proving (rows from a VM run)
+            _print_cost(prog, frontend.run_vm(prog, pi).trace_len, out)
             opts = ProverOptions(queries=16, blowup=8, grind=0,
                                  min_security_bits=0)
             t0 = time.time()
