@@ -92,8 +92,13 @@ def permute12_batch(states, suite_id: bytes, xp, rounds: int | None = None):
         from ..field import mxu
 
         # Fused Pallas kernel (TPU backend): all rounds resident in VMEM.
+        # Small batches stay on the scan path — each distinct batch shape
+        # costs a fresh Mosaic compile, which tiny batches never repay.
         from . import poseidon_pallas as pp
-        if pp.enabled():
+        batch = 1
+        for d in states.shape[:-2]:
+            batch *= d
+        if pp.enabled() and pp.worthwhile(batch):
             return pp.permute12(states, bytes(suite_id), rounds)
 
         # MDS layer as an MXU matmul over limb columns: out = s3 @ M^T

@@ -203,13 +203,18 @@ def _permute_fn(suite_id: bytes, rounds: int, interpret: bool):
     mds_np, rc_np = _suite_np(suite_id, rounds)
 
     def kernel(s_ref, mds_ref, rc_ref, pc_ref, o_ref):
-        s = s_ref[...]
         mds = mds_ref[...]
         pcompl = pc_ref[...]
-        for r in range(rounds):
+
+        # fori_loop over rounds keeps the Mosaic program ~27x smaller
+        # than a Python unroll, which keeps per-shape compiles tolerable
+        # (the prover instantiates this kernel for many batch shapes).
+        def body(r, s):
             s3 = _cube_lf(s, pcompl, jnp)
-            s = _mds_rc_lf(s3, mds, rc_ref[r], pcompl, jnp)
-        o_ref[...] = s
+            rc_r = rc_ref[pl.ds(r, 1)][0]
+            return _mds_rc_lf(s3, mds, rc_r, pcompl, jnp)
+
+        o_ref[...] = jax.lax.fori_loop(0, rounds, body, s_ref[...])
 
     # MDS pre-broadcast over the lane axis (see _mds_rc_lf docstring).
     mds_b = _np.ascontiguousarray(
@@ -247,6 +252,16 @@ def enabled() -> bool:
         return jax.default_backend() == "tpu"
     except Exception:
         return False
+
+
+MIN_BATCH = 2048     # below this the XLA scan path wins (a fresh Mosaic
+                     # compile per batch shape costs minutes over the
+                     # tunnel; tiny tree-top levels don't repay it)
+
+
+def worthwhile(batch: int) -> bool:
+    """Whether the fused kernel should handle this batch size."""
+    return batch >= MIN_BATCH
 
 
 def permute12(states, suite_id: bytes, rounds: int,
