@@ -76,12 +76,23 @@ def prove_program(program: Program, pub_inputs: pi_mod.PublicInputs,
     n_seg = len(segments)
 
     if max_parallel == 1 or n_seg == 1:
+        # Device mode: enqueue every segment's trace upload up front.
+        # jax.device_put is async, so the (slow, tunneled) host->device
+        # transfers overlap the per-segment device compute instead of
+        # sitting inside each segment's LDE stage.
+        dev16s = [None] * n_seg
+        if _device_mode():
+            import jax
+            for i, seg in enumerate(segments):
+                dev16s[i] = jax.device_put(
+                    segment_limbs16(full_trace, program, pub_inputs, seg))
         steps = []
         prev_state: Optional[tb.PrevState] = None
         for i, seg in enumerate(segments):
             step, state_out = prove_segment(
                 suite_id, rom_acc, i, n_seg, seg, full_trace, program,
-                pub_inputs, base_opts, opts.min_security_bits, prev_state)
+                pub_inputs, base_opts, opts.min_security_bits, prev_state,
+                dev16=dev16s[i])
             steps.append(step)
             prev_state = tb.PrevState(state_out)
         return steps
@@ -114,13 +125,12 @@ def _prove_segment_forked(i: int) -> bytes:
     return step.to_bytes()
 
 
-def prove_segment(suite_id: bytes, rom_acc: Tuple[int, int, int],
-                  segment_index: int, segments_total: int,
-                  seg: tb.Segment, full_trace, program: Program,
-                  pub_inputs: pi_mod.PublicInputs,
-                  base_opts: ProofOptions, min_bits: int,
-                  prev_state: Optional[tb.PrevState]
-                  ) -> Tuple[StepProof, bytes]:
+def _segment_layout(program: Program, pub_inputs: pi_mod.PublicInputs,
+                    seg: tb.Segment):
+    """Effective feature mask + column layout for one segment.
+
+    Factored out of prove_segment so the device path can slice segment
+    limb arrays for upload prefetch before proving starts."""
     lvl_start = seg.r_start // STEPS_PER_LEVEL_P2
     lvl_end = seg.r_end // STEPS_PER_LEVEL_P2
     seg_features = planner.compute_segment_features_for_levels(
@@ -131,7 +141,6 @@ def prove_segment(suite_id: bytes, rom_acc: Tuple[int, int, int],
                                                     seg_features)
     use_seg_mask = seg_mask != 0 and seg_mask != base_mask
     eff_mask = seg_mask if use_seg_mask else base_mask
-    features = pi_mod.FM_VM  # placeholder to document bit use below
     fmap_vm = bool(eff_mask & pi_mod.FM_VM)
     rom_enabled = any(pub_inputs.program_id)
 
@@ -141,7 +150,27 @@ def prove_segment(suite_id: bytes, rom_acc: Tuple[int, int, int],
         sponge=bool(eff_mask & pi_mod.FM_SPONGE),
         merkle=bool(eff_mask & pi_mod.FM_MERKLE),
         rom=rom_enabled)
-    seg_layout = tb.SegmentLayout(Columns.baseline(), layout_cfg)
+    return eff_mask, tb.SegmentLayout(Columns.baseline(), layout_cfg)
+
+
+def segment_limbs16(full_trace, program: Program,
+                    pub_inputs: pi_mod.PublicInputs,
+                    seg: tb.Segment) -> _np.ndarray:
+    """(C, n, 8) uint16 limb slice of the full trace for one segment."""
+    full16 = full_trace.to_limbs16()
+    _, seg_layout = _segment_layout(program, pub_inputs, seg)
+    return _np.ascontiguousarray(
+        full16[seg_layout.seg_to_full, seg.r_start:seg.r_end])
+
+
+def prove_segment(suite_id: bytes, rom_acc: Tuple[int, int, int],
+                  segment_index: int, segments_total: int,
+                  seg: tb.Segment, full_trace, program: Program,
+                  pub_inputs: pi_mod.PublicInputs,
+                  base_opts: ProofOptions, min_bits: int,
+                  prev_state: Optional[tb.PrevState],
+                  dev16=None) -> Tuple[StepProof, bytes]:
+    eff_mask, seg_layout = _segment_layout(program, pub_inputs, seg)
 
     from ..utils.tracing import phase
     with phase("segment_trace", rows=seg.r_end - seg.r_start):
@@ -176,11 +205,12 @@ def prove_segment(suite_id: bytes, rom_acc: Tuple[int, int, int],
     if _device_mode():
         from .stark_device import prove_trace_device
         # segment limbs as a numpy slice of the cached full-trace u16
-        # array (converting ~1M Python ints per segment costs seconds)
-        full16 = full_trace.to_limbs16()
-        seg16 = _np.ascontiguousarray(
-            full16[seg_layout.seg_to_full,
-                   seg.r_start:seg.r_end])
+        # array (converting ~1M Python ints per segment costs seconds);
+        # dev16, when given, is that slice already device_put (upload
+        # prefetched behind the previous segment's compute).
+        seg16 = (dev16 if dev16 is not None
+                 else segment_limbs16(full_trace, program, pub_inputs,
+                                      seg))
         inner = prove_trace_device(trace, air, air_pi, wf_opts,
                                    limbs16=seg16)
     else:

@@ -438,7 +438,7 @@ def _x0_tables(size: int):
 
 def prove_trace_device(trace, air: ZkLispAir, air_pi,
                        options: ProofOptions,
-                       limbs16: _np.ndarray | None = None) -> StarkProof:
+                       limbs16=None) -> StarkProof:
     from ..utils.tracing import phase
     jnp = _jnp()
     n = trace.length
@@ -450,7 +450,9 @@ def prove_trace_device(trace, air: ZkLispAir, air_pi,
 
     # stage 1: trace polys + LDE.  Ship the trace as uint16 (limbs are
     # 16-bit) — halves the host->device transfer over the tunnel — and
-    # widen to u32 inside the jit.
+    # widen to u32 inside the jit.  limbs16 may already be a device
+    # array (prover.py prefetches segment uploads); jnp.asarray is then
+    # a no-op.
     with phase("lde", rows=n, width=w):
         cols_u16 = (limbs16 if limbs16 is not None
                     else _np.asarray(trace.to_limbs(), dtype=_np.uint16))
