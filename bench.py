@@ -1,11 +1,15 @@
 #!/usr/bin/env python
-"""Benchmark: trace LDE + Merkle commitment throughput on one chip.
+"""Benchmark: the north-star metric — end-to-end proved rows/s on one chip.
 
-Workload matches the per-segment proving hot path for the reference's
-rollup-bench configuration (BASELINE.md): a 4096-row x 219-column trace
-segment (the default max segment size), low-degree-extended with blowup 16
-to a 65536-row LDE (2^16 rows) and committed with partitioned Poseidon2
-row hashing + Merkle tree — the two dominant kernels of a step proof.
+Default mode proves a full 2^16-row trace at the reference rollup-bench
+config (BASELINE.md: queries=64, blowup=16, grind=16) with the jit-staged
+device prover — 16 segments + STARK-in-STARK aggregation — and reports
+proved rows/s over the total wall clock (trace build + prove + aggregate).
+First run on a cold XLA cache pays kernel compiles (~6-8 min); the
+persistent cache in .jax_cache/ makes subsequent runs steady-state.
+
+`--lde-commit` keeps the previous kernel-level metric (trace LDE +
+Merkle commitment throughput of one 4096x219 segment).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "rows/s", "vs_baseline": N}
@@ -21,6 +25,20 @@ import sys
 import time
 
 os.environ.setdefault("XLA_FLAGS", "")
+
+
+def main_e2e(small: bool) -> None:
+    """North star: full prove+aggregate of a 2^16-row trace (1 chip)."""
+    import runpy
+
+    os.environ.setdefault("ZKL_DEVICE", "jax")
+    here = os.path.dirname(os.path.abspath(__file__))
+    sys.argv = [sys.argv[0]]
+    if small:
+        sys.argv += ["--rows", "8192", "--queries", "8", "--blowup", "8",
+                     "--grind", "0", "--security-bits", "0"]
+    runpy.run_path(os.path.join(here, "scripts", "bench_e2e.py"),
+                   run_name="__main__")
 
 
 def main() -> None:
@@ -99,4 +117,15 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    small = "--small" in sys.argv or "--cpu" in sys.argv
+    if "--cpu" in sys.argv:
+        # the sandbox sitecustomize force-selects the axon TPU platform;
+        # env vars are ignored, only a config update before backend init
+        # wins (same trick as tests/conftest.py)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    if "--lde-commit" in sys.argv:
+        main()
+    else:
+        main_e2e(small)

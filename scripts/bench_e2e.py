@@ -115,6 +115,9 @@ def main() -> None:
         "metric": "proved_rows_per_sec_2e16_e2e",
         "value": round(rows / total, 1),
         "unit": "rows/s",
+        # the reference publishes no machine-readable numbers
+        # (BASELINE.md); 1.0 is the placeholder denominator
+        "vs_baseline": 1.0,
         "detail": {
             "rows": rows, "segments": len(steps),
             "trace_s": round(t_trace, 2), "prove_s": round(t_prove, 2),

@@ -216,7 +216,19 @@ def prove_segment(suite_id: bytes, rom_acc: Tuple[int, int, int],
     else:
         inner = stark.prove_trace(trace, air, air_pi, wf_opts, _xp())
 
-    boundary = dict(
+    with phase("step_assembly"):
+        boundary = _boundary_dict(boundaries, state_in_hash,
+                                  state_out_hash)
+        zl1 = Zl1Proof.new_multi_segment(
+            suite_id, meta, pub_inputs, segment_index, segments_total,
+            boundary, inner)
+        step = StepProof(zl1, pub_inputs, rom_acc, air_pi.vm_usage_mask,
+                         air_pi.ram_delta_clk_bits)
+    return step, state_out_hash
+
+
+def _boundary_dict(boundaries, state_in_hash, state_out_hash) -> dict:
+    return dict(
         pc_init=f128.fe_to_bytes_fold(boundaries.pc_init),
         state_in_hash=state_in_hash,
         state_out_hash=state_out_hash,
@@ -235,12 +247,6 @@ def prove_segment(suite_id: bytes, rom_acc: Tuple[int, int, int],
         rom_s_out_1=f128.fe_to_bytes_fold(boundaries.rom_s_out[1]),
         rom_s_out_2=f128.fe_to_bytes_fold(boundaries.rom_s_out[2]),
     )
-    zl1 = Zl1Proof.new_multi_segment(
-        suite_id, meta, pub_inputs, segment_index, segments_total,
-        boundary, inner)
-    step = StepProof(zl1, pub_inputs, rom_acc, air_pi.vm_usage_mask,
-                     air_pi.ram_delta_clk_bits)
-    return step, state_out_hash
 
 
 def air_pi_from_step(step: StepProof) -> AirPublicInputs:

@@ -129,24 +129,32 @@ class _DevCommitment:
     def root(self) -> bytes:
         return f128.fe_to_bytes_fold(self.root_fe)
 
-    def open_paths(self, positions) -> List[List[bytes]]:
-        """Sibling paths (bottom-up) for the given leaf indices."""
+    def open_paths(self, positions, pad_to: int = 0) -> List[List[bytes]]:
+        """Sibling paths (bottom-up) for the given leaf indices.
+
+        pad_to: pad the gather to this many indices (repeating the last)
+        so the dispatched gather shapes are IDENTICAL across segments —
+        deduped query counts vary per segment, and every distinct count
+        otherwise triggers a fresh device compile of all level gathers.
+        """
         jnp = _jnp()
         if not positions:
             return []
-        idx = _np.asarray(positions, dtype=_np.int64)
+        nq = len(positions)
+        padded = list(positions) + [positions[-1]] * max(0, pad_to - nq)
+        idx = _np.asarray(padded, dtype=_np.int64)
         sib_gathers = []
         cur = idx
         for level in self.levels[:-1]:
-            sib_gathers.append(level[jnp.asarray(cur ^ 1)])  # (nq, 8)
+            sib_gathers.append(level[jnp.asarray(cur ^ 1)])  # (npad, 8)
             cur = cur >> 1
         flat = _np.asarray(jnp.concatenate(sib_gathers, axis=0))
         depth = len(self.levels) - 1
-        nq = len(positions)
-        fes = limb.to_ints(flat)                 # (depth * nq,)
+        npad = len(padded)
+        fes = limb.to_ints(flat)                 # (depth * npad,)
         paths = []
         for j in range(nq):
-            paths.append([f128.fe_to_bytes_fold(int(fes[d * nq + j]))
+            paths.append([f128.fe_to_bytes_fold(int(fes[d * npad + j]))
                           for d in range(depth)])
         return paths
 
@@ -633,43 +641,49 @@ def prove_trace_device(trace, air: ZkLispAir, air_pi,
     positions = sorted(set(coin.draw_integers(
         options.num_queries, N, pow_nonce)))
 
-    # openings: gather opened rows on device (no full row-major copy)
-    idx_dev = jnp.asarray(_np.asarray(positions, dtype=_np.int32))
-    t_rows = _np.asarray(_gather_rows_fn(w, len(positions))(
-        trace_lde, idx_dev))
-    q_rows = _np.asarray(_gather_rows_fn(Q, len(positions))(
-        q_lde, idx_dev))
+    # openings: gather opened rows on device (no full row-major copy).
+    # Every gather is padded to the fixed query count so the dispatched
+    # shapes repeat across segments (deduped counts vary, and each new
+    # count would recompile the gathers — seconds per segment).
+    nq_pad = options.num_queries
+    pos_pad = list(positions) + [positions[-1]] * (nq_pad - len(positions))
+    idx_dev = jnp.asarray(_np.asarray(pos_pad, dtype=_np.int32))
+    t_rows = _np.asarray(_gather_rows_fn(w, nq_pad)(trace_lde, idx_dev))
+    q_rows = _np.asarray(_gather_rows_fn(Q, nq_pad)(q_lde, idx_dev))
 
     def open_rows(comm: _DevCommitment, rows_h, idxs) -> QueryOpenings:
         out_rows = [[int(v) for v in limb.to_ints(rows_h[j])]
                     for j in range(len(idxs))]
-        return QueryOpenings(out_rows, comm.open_paths(list(idxs)))
+        return QueryOpenings(
+            out_rows, comm.open_paths(list(idxs), pad_to=nq_pad))
 
     with phase("openings", nq=len(positions)):
         trace_open = open_rows(trace_comm, t_rows, positions)
         constraint_open = open_rows(constraint_comm, q_rows, positions)
 
-    fri_open: List[FriLayerOpenings] = []
-    pos_d = positions
-    size_d = N
-    for d in range(num_layers):
-        half = size_d // 2
-        folded = []
-        for p_ in pos_d:
-            m = p_ % half
-            if m not in folded:
-                folded.append(m)
-        idx = _np.asarray([m for m in folded]
-                          + [half + m for m in folded], dtype=_np.int32)
-        opened = limb.to_ints(_np.asarray(
-            fri_layers_vals[d][jnp.asarray(idx)]))
-        nf = len(folded)
-        pairs = [(int(opened[i]), int(opened[nf + i]))
-                 for i in range(nf)]
-        paths = fri_comms[d].open_paths(folded)
-        fri_open.append(FriLayerOpenings(pairs, paths))
-        pos_d = folded
-        size_d = half
+    with phase("fri_openings"):
+        fri_open: List[FriLayerOpenings] = []
+        pos_d = positions
+        size_d = N
+        for d in range(num_layers):
+            half = size_d // 2
+            folded = []
+            for p_ in pos_d:
+                m = p_ % half
+                if m not in folded:
+                    folded.append(m)
+            nf = len(folded)
+            fold_pad = folded + [folded[-1]] * (nq_pad - nf)
+            idx = _np.asarray(fold_pad + [half + m for m in fold_pad],
+                              dtype=_np.int32)
+            opened = limb.to_ints(_np.asarray(
+                fri_layers_vals[d][jnp.asarray(idx)]))
+            pairs = [(int(opened[i]), int(opened[nq_pad + i]))
+                     for i in range(nf)]
+            paths = fri_comms[d].open_paths(folded, pad_to=nq_pad)
+            fri_open.append(FriLayerOpenings(pairs, paths))
+            pos_d = folded
+            size_d = half
 
     return StarkProof(
         context=context,
