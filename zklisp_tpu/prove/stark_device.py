@@ -136,20 +136,20 @@ class _DevCommitment:
         so the dispatched gather shapes are IDENTICAL across segments —
         deduped query counts vary per segment, and every distinct count
         otherwise triggers a fresh device compile of all level gathers.
+        All levels are gathered in ONE jitted dispatch + ONE transfer
+        per commitment (eager per-level gathers cost ~10 ms dispatch
+        latency each over the tunneled device).
         """
         jnp = _jnp()
         if not positions:
             return []
         nq = len(positions)
         padded = list(positions) + [positions[-1]] * max(0, pad_to - nq)
-        idx = _np.asarray(padded, dtype=_np.int64)
-        sib_gathers = []
-        cur = idx
-        for level in self.levels[:-1]:
-            sib_gathers.append(level[jnp.asarray(cur ^ 1)])  # (npad, 8)
-            cur = cur >> 1
-        flat = _np.asarray(jnp.concatenate(sib_gathers, axis=0))
+        idx = jnp.asarray(_np.asarray(padded, dtype=_np.int32))
         depth = len(self.levels) - 1
+        shapes = tuple(l.shape[0] for l in self.levels[:-1])
+        flat = _np.asarray(
+            _open_paths_fn(shapes)(tuple(self.levels[:-1]), idx))
         npad = len(padded)
         fes = limb.to_ints(flat)                 # (depth * npad,)
         paths = []
@@ -157,6 +157,36 @@ class _DevCommitment:
             paths.append([f128.fe_to_bytes_fold(int(fes[d * npad + j]))
                           for d in range(depth)])
         return paths
+
+
+@lru_cache(maxsize=None)
+def _fri_vals_fn(layer_sizes):
+    """jitted (layers..., idxs (L, K)) -> (L*K, 8) value gather."""
+    import jax
+    jnp = _jnp()
+
+    def fn(layers, idxs):
+        return jnp.concatenate(
+            [layer[idxs[d]] for d, layer in enumerate(layers)], axis=0)
+
+    return jax.jit(fn)
+
+
+@lru_cache(maxsize=None)
+def _open_paths_fn(level_sizes):
+    """jitted (levels..., idx) -> (depth*npad, 8) sibling gather."""
+    import jax
+    jnp = _jnp()
+
+    def fn(levels, idx):
+        cur = idx
+        out = []
+        for level in levels:
+            out.append(level[cur ^ 1])
+            cur = cur >> 1
+        return jnp.concatenate(out, axis=0)
+
+    return jax.jit(fn)
 
 
 def _commit_cols_device(cols_arr, partition_size: int) -> _DevCommitment:
@@ -662,7 +692,10 @@ def prove_trace_device(trace, air: ZkLispAir, air_pi,
         constraint_open = open_rows(constraint_comm, q_rows, positions)
 
     with phase("fri_openings"):
-        fri_open: List[FriLayerOpenings] = []
+        # fold the query positions through all layers on host first, so
+        # every layer's (fixed-shape) value gather runs in ONE jitted
+        # dispatch + ONE transfer
+        foldeds = []
         pos_d = positions
         size_d = N
         for d in range(num_layers):
@@ -672,18 +705,27 @@ def prove_trace_device(trace, air: ZkLispAir, air_pi,
                 m = p_ % half
                 if m not in folded:
                     folded.append(m)
+            foldeds.append((folded, half))
+            pos_d = folded
+            size_d = half
+        idxs = []
+        for folded, half in foldeds:
+            fold_pad = folded + [folded[-1]] * (nq_pad - len(folded))
+            idxs.append(_np.asarray(
+                fold_pad + [half + m for m in fold_pad], dtype=_np.int32))
+        vals_flat = limb.to_ints(_np.asarray(
+            _fri_vals_fn(tuple(v.shape[0] for v in fri_layers_vals))(
+                tuple(fri_layers_vals),
+                jnp.asarray(_np.stack(idxs)))))    # (layers*2*nq_pad,)
+        fri_open: List[FriLayerOpenings] = []
+        for d, (folded, half) in enumerate(foldeds):
             nf = len(folded)
-            fold_pad = folded + [folded[-1]] * (nq_pad - nf)
-            idx = _np.asarray(fold_pad + [half + m for m in fold_pad],
-                              dtype=_np.int32)
-            opened = limb.to_ints(_np.asarray(
-                fri_layers_vals[d][jnp.asarray(idx)]))
-            pairs = [(int(opened[i]), int(opened[nq_pad + i]))
+            base = d * 2 * nq_pad
+            pairs = [(int(vals_flat[base + i]),
+                      int(vals_flat[base + nq_pad + i]))
                      for i in range(nf)]
             paths = fri_comms[d].open_paths(folded, pad_to=nq_pad)
             fri_open.append(FriLayerOpenings(pairs, paths))
-            pos_d = folded
-            size_d = half
 
     return StarkProof(
         context=context,
