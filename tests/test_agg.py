@@ -38,6 +38,24 @@ def test_multi_segment_chain_roundtrip(chain_bundle):
     assert digest == agg.recursion_digest(agg_pi)
 
 
+def test_child_transcript_checks(chain_bundle):
+    """verify_child_transcript parity (agg/child.rs:905-1023): the
+    commitment echo and opening shapes are enforced pre-aggregation."""
+    prog, pi, _, _, _ = chain_bundle
+    from zklisp_tpu.prove.prover import prove_program
+    steps = prove_program(prog, pi, OPTS)
+    for s in steps:
+        agg.verify_child_transcript(s)
+    bad = copy.deepcopy(steps[0])
+    bad.proof.inner.trace_root = bytes(32)
+    with pytest.raises(agg.AggError, match="root_trace"):
+        agg.verify_child_transcript(bad)
+    bad2 = copy.deepcopy(steps[0])
+    bad2.proof.inner.fri_openings = bad2.proof.inner.fri_openings[:-1]
+    with pytest.raises(agg.AggError, match="FRI layer count"):
+        agg.verify_child_transcript(bad2)
+
+
 def test_artifact_codec_roundtrip(chain_bundle):
     _, _, proof, _, agg_pi = chain_bundle
     blob = agg.encode_artifact(proof, agg_pi)

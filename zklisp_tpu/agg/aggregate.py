@@ -748,13 +748,54 @@ def recursion_digest(agg_pi: AggAirPublicInputs) -> bytes:
     return blake3(bytes(h))
 
 
+def verify_child_transcript(step: StepProof) -> None:
+    """Pre-aggregation child checks (agg/child.rs:905-1023).
+
+    Mirrors the reference: recompute the blake3-folded commitment echo
+    and enforce coarse shape invariants on openings and FRI layers.  A
+    full STARK re-verification is NOT performed here — the aggregation
+    trace re-derives every FS challenge, Merkle root, DEEP composition
+    and FRI fold per query, and the agg AIR constrains the error columns
+    to zero (agg/trace.rs), so a host-side re-verify only duplicated
+    that work (measured ~2 s/child at q=64).
+    """
+    inner = step.proof.inner
+    h = bytearray(b"zkl/step/root_trace")
+    h += step.proof.header.suite_id
+    h += inner.trace_root
+    h += inner.constraint_root
+    for r in inner.fri_roots:
+        h += r
+    if blake3(bytes(h)) != step.proof.root_trace:
+        raise AggError("child commitments do not match root_trace echo")
+
+    nq = inner.num_unique_queries()
+    if nq == 0:
+        raise AggError("child transcript has no query openings")
+    if len(inner.constraint_openings.rows) != nq:
+        raise AggError("constraint openings length != num queries")
+    for row in inner.trace_openings.rows:
+        if not row:
+            raise AggError("empty trace opening row")
+    for row in inner.constraint_openings.rows:
+        if not row:
+            raise AggError("empty constraint opening row")
+    if len(inner.fri_openings) != len(inner.fri_roots):
+        raise AggError("FRI layer count != FRI root count")
+    for lo in inner.fri_openings:
+        if len(lo.paths) != len(lo.pairs):
+            raise AggError("FRI layer paths/pairs mismatch")
+
+
 def recursion_prove(steps: Sequence[StepProof],
                     agg_pi: AggAirPublicInputs,
                     opts: ProverOptions):
-    """RecursionBackend::prove: verify children, then prove aggregation."""
-    from ..prove.prover import verify_step
+    """RecursionBackend::prove: verify child transcripts, then prove
+    aggregation (src/lib.rs:295-492; transcript checks per
+    agg/child.rs:905, not a full re-verify — see
+    verify_child_transcript)."""
     for s in steps:
-        verify_step(s)
+        verify_child_transcript(s)
     proof = prove_agg(agg_pi, steps, opts)
     return proof, recursion_digest(agg_pi)
 
