@@ -26,7 +26,7 @@ from ..field import f128
 from ..field.felt import Felt
 from ..prove import stark
 from ..prove.coin import RandomCoin
-from ..prove.commit import hash_row_host, merkle_root_from_leaf
+from ..prove.commit import hash_rows_host_batch, merkle_roots_host_batch
 from ..prove.formats import StepProof
 from ..prove.params import ProofOptions, ProverOptions
 from ..prove.prover import air_pi_from_step, _effective_mask_for_step
@@ -294,17 +294,25 @@ def _merkle_root_errors(step: StepProof, ch: dict) -> Tuple[int, int]:
     ps_con = opts.partition_size(Q)
     t_expected = f128.fold_bytes32_to_fe(inner.trace_root)
     c_expected = f128.fold_bytes32_to_fe(inner.constraint_root)
+    positions = list(ch["positions"])
+    nq = len(positions)
+    # batched leaf hashing + level-parallel path merges (one native
+    # Poseidon batch per level instead of one scalar call per node)
+    t_leaves = hash_rows_host_batch(
+        [inner.trace_openings.rows[k] for k in range(nq)], ps_main)
+    t_roots = merkle_roots_host_batch(
+        t_leaves, positions,
+        [inner.trace_openings.paths[k] for k in range(nq)])
+    c_leaves = hash_rows_host_batch(
+        [inner.constraint_openings.rows[k] for k in range(nq)], ps_con)
+    c_roots = merkle_roots_host_batch(
+        c_leaves, positions,
+        [inner.constraint_openings.paths[k] for k in range(nq)])
     t_err = c_err = 0
-    for k, p_ in enumerate(ch["positions"]):
-        t_leaf = hash_row_host(inner.trace_openings.rows[k], ps_main)
-        t_root = merkle_root_from_leaf(t_leaf, p_,
-                                       inner.trace_openings.paths[k])
-        c_leaf = hash_row_host(inner.constraint_openings.rows[k], ps_con)
-        c_root = merkle_root_from_leaf(c_leaf, p_,
-                                       inner.constraint_openings.paths[k])
-        t_err = (t_err + f128.fold_bytes32_to_fe(t_root)
+    for k in range(nq):
+        t_err = (t_err + f128.fold_bytes32_to_fe(t_roots[k])
                  - t_expected) % P
-        c_err = (c_err + f128.fold_bytes32_to_fe(c_root)
+        c_err = (c_err + f128.fold_bytes32_to_fe(c_roots[k])
                  - c_expected) % P
     return t_err, c_err
 

@@ -82,3 +82,46 @@ def merkle_root_from_leaf(leaf: bytes, index: int,
 def verify_opening(root: bytes, leaf: bytes, index: int,
                    siblings: Sequence[bytes]) -> bool:
     return merkle_root_from_leaf(leaf, index, siblings) == root
+
+
+def hash_rows_host_batch(rows: Sequence[Sequence[int]],
+                         partition_size: int) -> List[bytes]:
+    """Batched hash_row_host: one vectorized sponge over all rows.
+
+    Routes every Poseidon permutation through the native batch kernel
+    (B states per call) instead of one native call per permutation —
+    the scalar path costs ~110 us of call overhead per permutation,
+    which dominates aggregation trace building at q=64.
+    """
+    from ..crypto import poseidon_jax as pj
+    rows_l = limb.from_ints([list(r) for r in rows])   # (B, W, 8)
+    digests = pj.hash_rows_partitioned(rows_l, partition_size, _np)
+    return [f128.fe_to_bytes_fold(int(v))
+            for v in limb.to_ints(digests)]
+
+
+def merkle_roots_host_batch(leaves: Sequence[bytes],
+                            indices: Sequence[int],
+                            sibling_paths: Sequence[Sequence[bytes]]
+                            ) -> List[bytes]:
+    """Batched merkle_root_from_leaf over equal-depth paths.
+
+    One vectorized merge (native Poseidon batch) per tree level instead
+    of one scalar permutation per (path, level)."""
+    from ..crypto import poseidon_jax as pj
+    B = len(leaves)
+    if B == 0:
+        return []
+    depth = len(sibling_paths[0])
+    acc = limb.from_ints([f128.fold_bytes32_to_fe(l) for l in leaves])
+    idx = _np.asarray(list(indices), dtype=_np.int64)
+    for d in range(depth):
+        sib = limb.from_ints(
+            [f128.fold_bytes32_to_fe(p[d]) for p in sibling_paths])
+        right = (idx & 1).astype(bool)                 # acc is right child
+        first = _np.where(right[:, None], sib, acc)
+        second = _np.where(right[:, None], acc, sib)
+        pairs = _np.stack([first, second], axis=1)     # (B, 2, 8)
+        acc = pj.sponge_fes(pairs, b"zkl/winter/hash/merge", _np)
+        idx >>= 1
+    return [f128.fe_to_bytes_fold(int(v)) for v in limb.to_ints(acc)]
