@@ -184,6 +184,84 @@ def _mds_rc_lf(s3, mds, rc_r, pcompl, jnp):
     return _reduce_lf(cols, bound, pcompl, jnp)
 
 
+def _mds_rc_mxu_lf(s3, wp, rc_r, pcompl, jnp):
+    """MDS layer as int8 MXU matmuls (limb-convolution weights).
+
+    s3: (12, 8, B) cubed lanes.  wp: three int8 planes (96, 192) of the
+    convolution matrix Wm[(j*8+l), (i*16+k)] = limb_{k-l}(MDS[i][j]),
+    split into 7-bit digits (Mosaic lowers 8-bit dots through SIGNED
+    int8 MXU tiles, so operands must stay < 128 — verified by
+    scripts/exp_pallas_int8_dot.py).  The 9 plane-pair dots accumulate
+    per shift-sum s = a+b; each D_s (192, B) int32 <= 96*127^2 < 2^21
+    is split/shifted into a base-2^16 digit grid (12, 18, B) that holds
+    the exact product value, then reduced once (with the round constant
+    added into digits 0..7 for free).
+
+    Replaces the VPU j-loop of _mds_rc_lf (12x(12,8,8,B) limb products
+    + antidiagonal sums) — the kernel's dominant cost — with MXU work.
+    """
+    t = 12
+    B = s3.shape[-1]
+    import jax
+
+    def bf16(v):
+        return v.astype(jnp.int32).astype(jnp.float32).astype(
+            jnp.bfloat16)
+
+    x = s3.reshape(t * NLIMB, B)
+    xp_ = (bf16(x & 0x7F), bf16((x >> 7) & 0x7F), bf16(x >> 14))
+    d = {}
+    for a in range(3):
+        for b in range(3):
+            # 7-bit operands are exact in bf16; sums of 96 products
+            # (< 2^21) are exact in the f32 accumulator -> exact integer
+            # result on the NATIVE MXU path (int8 dots lower to a slow
+            # emulation on this chip; see scripts/exp_pallas_int8_dot.py)
+            acc = jax.lax.dot_general(
+                wp[b], xp_[a], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)     # (192, B)
+            s_i = a + b
+            d[s_i] = acc if s_i not in d else d[s_i] + acc
+    d = {s_i: acc.astype(jnp.int32) for s_i, acc in d.items()}
+    W = 19      # max digit: k(15) + q(1) + hi-split(1) + half-split(1)
+    cols = None
+    for s_i, acc in d.items():
+        accu = acc.astype(jnp.uint32).reshape(t, 16, B)
+        q, r = divmod(7 * s_i, 16)
+        lo = accu & LIMB_MASK                            # < 2^16
+        hi = accu >> 16                                  # < 2^5
+        for base, off in ((lo, q), (hi, q + 1)):
+            v = base << r                                # < 2^31
+            contrib = (_place2(v & LIMB_MASK, off, W, jnp)
+                       + _place2(v >> 16, off + 1, W, jnp))
+            cols = contrib if cols is None else cols + contrib
+    cols = cols + _place2(rc_r[:, :, None], 0, W, jnp)
+    bound = t * (f128.P - 1) ** 2 + (f128.P - 1)
+    return _reduce_lf(cols, bound, pcompl, jnp)
+
+
+@lru_cache(maxsize=None)
+def _mds_conv_planes(suite_id: bytes, rounds: int):
+    """Host: 3 int8 7-bit planes (96, 192) of the MDS limb-conv matrix."""
+    s = pos.get_poseidon_suite(suite_id, rounds)
+    t = 12
+    Wm = _np.zeros((t * NLIMB, t * 16), dtype=_np.uint16)
+    for j in range(t):
+        for i in range(t):
+            v = int(s.mds[i][j])
+            for l in range(NLIMB):
+                for k in range(l, l + NLIMB):
+                    Wm[j * NLIMB + l, i * 16 + k] = (v >> (16 * (k - l))) \
+                        & 0xFFFF
+    return (_np.ascontiguousarray((Wm & 0x7F).astype(_np.float32)),
+            _np.ascontiguousarray(((Wm >> 7) & 0x7F).astype(_np.float32)),
+            _np.ascontiguousarray((Wm >> 14).astype(_np.float32)))
+
+
+def _use_mxu_mds() -> bool:
+    return bool(os.environ.get("ZKL_PALLAS_MXU_MDS"))
+
+
 @lru_cache(maxsize=None)
 def _suite_np(suite_id: bytes, rounds: int):
     """Returns (mds_jil, rc): MDS transposed to j-major (see _mds_rc_lf)."""
@@ -194,13 +272,56 @@ def _suite_np(suite_id: bytes, rounds: int):
 
 
 @lru_cache(maxsize=None)
-def _permute_fn(suite_id: bytes, rounds: int, interpret: bool):
+def _permute_fn(suite_id: bytes, rounds: int, interpret: bool,
+                mxu_mds: bool = False):
     """Builds the jittable (12, 8, B) -> (12, 8, B) fused permutation."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
 
     mds_np, rc_np = _suite_np(suite_id, rounds)
+
+    if mxu_mds:
+        w0, w1, w2 = _mds_conv_planes(suite_id, rounds)
+
+        def kernel(s_ref, w0_ref, w1_ref, w2_ref, rc_ref, pc_ref, o_ref):
+            wp = (w0_ref[...], w1_ref[...], w2_ref[...])
+            pcompl = pc_ref[...]
+
+            def body(r, s):
+                s3 = _cube_lf(s, pcompl, jnp)
+                rc_r = rc_ref[pl.ds(r, 1)][0]
+                return _mds_rc_mxu_lf(s3, wp, rc_r, pcompl, jnp)
+
+            o_ref[...] = jax.lax.fori_loop(0, rounds, body, s_ref[...])
+
+        def run(states_lf):
+            B = states_lf.shape[-1]
+            assert B % BLOCK == 0
+            nb = B // BLOCK
+            return pl.pallas_call(
+                kernel,
+                out_shape=jax.ShapeDtypeStruct(states_lf.shape,
+                                               jnp.uint32),
+                in_specs=[
+                    pl.BlockSpec((12, NLIMB, BLOCK), lambda i: (0, 0, i)),
+                    pl.BlockSpec((96, 192), lambda i: (0, 0)),
+                    pl.BlockSpec((96, 192), lambda i: (0, 0)),
+                    pl.BlockSpec((96, 192), lambda i: (0, 0)),
+                    pl.BlockSpec((rounds, 12, NLIMB), lambda i: (0, 0, 0)),
+                    pl.BlockSpec((NLIMB, 1), lambda i: (0, 0)),
+                ],
+                out_specs=pl.BlockSpec((12, NLIMB, BLOCK),
+                                       lambda i: (0, 0, i)),
+                grid=(nb,),
+                interpret=interpret,
+            )(states_lf,
+              jnp.asarray(w0, dtype=jnp.bfloat16),
+              jnp.asarray(w1, dtype=jnp.bfloat16),
+              jnp.asarray(w2, dtype=jnp.bfloat16),
+              jnp.asarray(rc_np), jnp.asarray(_P_COMPL))
+
+        return run
 
     def kernel(s_ref, mds_ref, rc_ref, pc_ref, o_ref):
         mds = mds_ref[...]
@@ -283,6 +404,7 @@ def permute12(states, suite_id: bytes, rounds: int,
     if Bp != B:
         flat = jnp.pad(flat, [(0, Bp - B), (0, 0), (0, 0)])
     lf = jnp.transpose(flat, (1, 2, 0))                  # (12, 8, Bp)
-    out = _permute_fn(bytes(suite_id), rounds, interpret)(lf)
+    out = _permute_fn(bytes(suite_id), rounds, interpret,
+                      mxu_mds=_use_mxu_mds())(lf)
     res = jnp.transpose(out, (2, 0, 1))[:B]
     return res.reshape(lead + (12, NLIMB))

@@ -121,9 +121,13 @@ class _DevCommitment:
     trees over the tunneled device costs seconds per segment.
     """
 
-    def __init__(self, levels) -> None:
+    def __init__(self, levels, root_fe: int | None = None) -> None:
         self.levels = levels                     # device arrays, (m, 8)
-        self.root_fe = int(limb.to_ints(_np.asarray(levels[-1]))[0])
+        # root_fe given: caller already transferred it (e.g. the fused
+        # FRI chain returns all layer roots in one copy) — skip the
+        # per-commitment device sync.
+        self.root_fe = (int(limb.to_ints(_np.asarray(levels[-1]))[0])
+                        if root_fe is None else root_fe)
 
     @property
     def root(self) -> bytes:
@@ -173,6 +177,57 @@ def _fri_vals_fn(layer_sizes):
 
 
 @lru_cache(maxsize=None)
+def _open_paths_multi_fn(level_sizes_per_comm):
+    """jitted sibling-path gather across MANY commitments at once.
+
+    level_sizes_per_comm: tuple (one entry per commitment) of tuples of
+    level sizes (excluding the root).  idxs is (n_comms, npad); returns
+    (sum(depths) * npad, 8) — all siblings of all commitments in one
+    dispatch + one transfer (the per-commitment variant costs a device
+    round-trip per FRI layer)."""
+    import jax
+    jnp = _jnp()
+
+    def fn(levels_nested, idxs):
+        out = []
+        for ci, levels in enumerate(levels_nested):
+            cur = idxs[ci]
+            for level in levels:
+                out.append(level[cur ^ 1])
+                cur = cur >> 1
+        return jnp.concatenate(out, axis=0)
+
+    return jax.jit(fn)
+
+
+def open_paths_multi(comms: List["_DevCommitment"], positions_per_comm,
+                     pad_to: int) -> List[List[List[bytes]]]:
+    """Batched _DevCommitment.open_paths over several commitments.
+
+    Returns, per commitment, the same structure open_paths returns."""
+    jnp = _jnp()
+    idx_rows = []
+    for ps in positions_per_comm:
+        padded = list(ps) + [ps[-1]] * (pad_to - len(ps))
+        idx_rows.append(_np.asarray(padded, dtype=_np.int32))
+    shapes = tuple(tuple(l.shape[0] for l in c.levels[:-1]) for c in comms)
+    flat = _np.asarray(_open_paths_multi_fn(shapes)(
+        tuple(tuple(c.levels[:-1]) for c in comms),
+        jnp.asarray(_np.stack(idx_rows))))
+    fes = limb.to_ints(flat)
+    out: List[List[List[bytes]]] = []
+    off = 0
+    for ci, c in enumerate(comms):
+        depth = len(c.levels) - 1
+        nq = len(positions_per_comm[ci])
+        paths = [[f128.fe_to_bytes_fold(int(fes[off + d * pad_to + j]))
+                  for d in range(depth)] for j in range(nq)]
+        out.append(paths)
+        off += depth * pad_to
+    return out
+
+
+@lru_cache(maxsize=None)
 def _open_paths_fn(level_sizes):
     """jitted (levels..., idx) -> (depth*npad, 8) sibling gather."""
     import jax
@@ -189,12 +244,38 @@ def _open_paths_fn(level_sizes):
     return jax.jit(fn)
 
 
+@lru_cache(maxsize=None)
+def _commit_cols_fn(C: int, N: int, chunk: int, partition_size: int):
+    """Whole column-major commit (leaf hashing + tree) in ONE dispatch.
+
+    lax.map over row chunks bounds the transposed working set to chunk
+    rows; the host-driven chunk loop costs a dispatch round-trip per
+    chunk over the tunneled device."""
+    import jax
+    jnp = _jnp()
+
+    def fn(cols_arr):
+        def body(i):
+            blk = jax.lax.dynamic_slice_in_dim(cols_arr, i * chunk,
+                                               chunk, 1)
+            rows = jnp.transpose(blk, (1, 0, 2))
+            return pj.hash_rows_partitioned(rows, partition_size, jnp)
+
+        leaves = jax.lax.map(body, jnp.arange(N // chunk))
+        return tuple(pj.merkle_tree(leaves.reshape(N, limb.NLIMB), jnp))
+
+    return jax.jit(fn)
+
+
 def _commit_cols_device(cols_arr, partition_size: int) -> _DevCommitment:
     """Commit to the rows of a column-major (C, N, 8) array without ever
     materializing the full row-major transpose."""
     jnp = _jnp()
     C, N = cols_arr.shape[0], cols_arr.shape[1]
     chunk = min(ROW_CHUNK, N)
+    if N % chunk == 0:
+        return _DevCommitment(
+            _commit_cols_fn(C, N, chunk, partition_size)(cols_arr))
     fn = _leaf_chunk_fn(C, partition_size, chunk)
     parts = [fn(cols_arr[:, s:s + chunk]) for s in range(0, N, chunk)]
     leaves = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
@@ -431,6 +512,30 @@ def _deep_chunk_fn(w: int, Q: int, chunk: int):
     return jax.jit(fn)
 
 
+@lru_cache(maxsize=None)
+def _deep_mxu_fn(w: int, Q: int, N: int):
+    """Whole-domain DEEP composition in ONE dispatch, with the batched
+    coefficient dot gt[x] = sum_i c_i * col_i[x] run as an int8-split
+    MXU matmul (field/mxu.py) instead of the VPU limb dot — the VPU
+    path materializes (N, w+Q, 8, 8) limb products (gigabytes of HBM
+    traffic at N=2^16), the MXU path is a (N, (w+Q)*8) @ ((w+Q)*8, 16)
+    integer matmul.  The DEEP coefficients arrive as uint8 weight
+    planes built on host per segment (mxu.wmat_from_ints)."""
+    import jax
+    jnp = _jnp()
+    from ..field import mxu
+
+    def fn(t_lde, q_lde, w_lo, w_hi, gz, gzg, inv_xz, inv_xzg):
+        allc = jnp.concatenate([t_lde, q_lde], axis=0)   # (w+Q, N, 8)
+        stacked = jnp.transpose(allc, (1, 0, 2))         # (N, w+Q, 8)
+        gt = mxu.field_matmul(stacked, w_lo, w_hi, jnp)[:, 0]
+        t1 = limb.mul(limb.sub(gt, gz[None], jnp), inv_xz, jnp)
+        t2 = limb.mul(limb.sub(gt, gzg[None], jnp), inv_xzg, jnp)
+        return limb.add(t1, t2, jnp)
+
+    return jax.jit(fn)
+
+
 # ---------------------------------------------------------------------------
 # stage 6: FRI
 # ---------------------------------------------------------------------------
@@ -448,6 +553,59 @@ def _fold_fn(size: int):
         num1 = limb.mul(v0, limb.add(a_f, x0, jnp), jnp)
         num2 = limb.mul(v1, limb.sub(a_f, x0, jnp), jnp)
         return limb.mul(limb.sub(num1, num2, jnp), inv_2x0, jnp)
+
+    return jax.jit(fn)
+
+
+@lru_cache(maxsize=None)
+def _fri_chain_fn(N: int, num_layers: int):
+    """One jitted dispatch for the ENTIRE FRI phase.
+
+    The per-layer loop (commit -> coin reseed -> alpha draw -> fold) has
+    an inherent host sync per layer when the coin lives on host: the
+    fold needs alpha, alpha needs the layer's Merkle root.  Over a
+    tunneled device that is ~num_layers round-trips per segment.  The
+    coin is Poseidon-based (prove/coin.py), so the whole chain runs on
+    device instead: reseed = sponge(seed_fe, root_fe) under
+    zkl/winter/hash/merge, draw = sponge(seed_fe, 1) under
+    zkl/winter/hash/merge_with_int — and a drawn candidate IS the
+    digest's lane-0 field element, always canonical, so the host retry
+    loop can never trigger and the device draw is exact.  The host coin
+    replays the reseeds from the returned roots (scalar, microseconds)
+    to stay in sync for grinding and query draws.
+
+    Returns (layers, levels_per_layer, roots (L, 8), final_layer).
+    """
+    import jax
+    jnp = _jnp()
+    one_fe = limb.from_ints([1])[0]
+
+    def fn(deep, seed, x0s, inv2x0s):
+        layer = deep
+        size = N
+        layers, levels_all, roots = [], [], []
+        for d in range(num_layers):
+            half = size // 2
+            pairs = jnp.stack([layer[:half], layer[half:]], axis=1)
+            leaves = pj.hash_rows_partitioned(pairs, 2, jnp)
+            levels = tuple(pj.merkle_tree(leaves, jnp))
+            root = levels[-1][0]                          # (8,)
+            seed = pj.sponge_fes(
+                jnp.stack([seed, root])[None],
+                b"zkl/winter/hash/merge", jnp)[0]
+            alpha = pj.sponge_fes(
+                jnp.stack([seed, jnp.asarray(one_fe)])[None],
+                b"zkl/winter/hash/merge_with_int", jnp)[0]
+            layers.append(layer)
+            levels_all.append(levels)
+            roots.append(root)
+            a_f = alpha[None]
+            num1 = limb.mul(layer[:half], limb.add(a_f, x0s[d], jnp), jnp)
+            num2 = limb.mul(layer[half:], limb.sub(a_f, x0s[d], jnp), jnp)
+            layer = limb.mul(limb.sub(num1, num2, jnp), inv2x0s[d], jnp)
+            size = half
+        return (tuple(layers), tuple(levels_all),
+                jnp.stack(roots), layer)
 
     return jax.jit(fn)
 
@@ -621,13 +779,22 @@ def prove_trace_device(trace, air: ZkLispAir, air_pi,
     gzg_dev = jnp.asarray(limb.from_ints([gzg]))[0]
 
     chunk = min(ROW_CHUNK, N)
-    dfn = _deep_chunk_fn(w, Q, chunk)
-    deep_parts = [
-        dfn(trace_lde[:, s:s + chunk], q_lde[:, s:s + chunk], coeffs,
-            gz_dev, gzg_dev, inv_xz[s:s + chunk], inv_xzg[s:s + chunk])
-        for s in range(0, N, chunk)]
-    deep = (deep_parts[0] if len(deep_parts) == 1
-            else jnp.concatenate(deep_parts))
+    import os as _os_deep
+    if not _os_deep.environ.get("ZKL_NO_MXU_DEEP"):
+        from ..field import mxu
+        w_lo, w_hi = mxu.wmat_planes(
+            mxu.wmat_from_ints([[c] for c in gammas + deltas]))
+        deep = _deep_mxu_fn(w, Q, N)(
+            trace_lde, q_lde, jnp.asarray(w_lo), jnp.asarray(w_hi),
+            gz_dev, gzg_dev, inv_xz, inv_xzg)
+    else:
+        dfn = _deep_chunk_fn(w, Q, chunk)
+        deep_parts = [
+            dfn(trace_lde[:, s:s + chunk], q_lde[:, s:s + chunk], coeffs,
+                gz_dev, gzg_dev, inv_xz[s:s + chunk], inv_xzg[s:s + chunk])
+            for s in range(0, N, chunk)]
+        deep = (deep_parts[0] if len(deep_parts) == 1
+                else jnp.concatenate(deep_parts))
     deep.block_until_ready()
     ph_deep.__exit__(None, None, None)
 
@@ -638,23 +805,43 @@ def prove_trace_device(trace, air: ZkLispAir, air_pi,
     fri_layers_vals = []
     fri_comms: List[_DevCommitment] = []
     layer = deep
-    size = N
-    for d in range(num_layers):
-        half = size // 2
-        pair_rows = jnp.stack([layer[:half], layer[half:]], axis=1)
-        comm = _commit_rows_device(pair_rows, 2)
-        fri_comms.append(comm)
-        # keep full layers on device; only the handful of opened values
-        # is transferred later (a full-layer transfer per depth costs
-        # seconds over a tunneled device)
-        fri_layers_vals.append(layer)
-        coin.reseed(comm.root)
-        alpha = coin.draw()
-        x0s, inv2x0 = _x0_tables(size)
-        layer = _fold_fn(size)(
-            layer, jnp.asarray(limb.from_ints([alpha]))[0],
-            jnp.asarray(x0s), jnp.asarray(inv2x0))
-        size = half
+    import os as _os
+    if num_layers and not _os.environ.get("ZKL_NO_FUSED_FRI"):
+        # one dispatch for the whole phase: on-device FS coin, all layer
+        # commits + folds, ONE root transfer (see _fri_chain_fn)
+        tabs = [_x0_tables(N >> d) for d in range(num_layers)]
+        seed_fe = f128.fold_bytes32_to_fe(coin.seed)
+        layers, levels_all, roots_dev, layer = _fri_chain_fn(
+            N, num_layers)(
+            deep, jnp.asarray(limb.from_ints([seed_fe]))[0],
+            tuple(jnp.asarray(t[0]) for t in tabs),
+            tuple(jnp.asarray(t[1]) for t in tabs))
+        roots = limb.to_ints(_np.asarray(roots_dev))
+        for d in range(num_layers):
+            comm = _DevCommitment(levels_all[d], root_fe=int(roots[d]))
+            fri_comms.append(comm)
+            fri_layers_vals.append(layers[d])
+            # replay the reseed on the host coin (draws don't mutate the
+            # seed, so the alphas consumed on device need no replay)
+            coin.reseed(comm.root)
+    else:
+        size = N
+        for d in range(num_layers):
+            half = size // 2
+            pair_rows = jnp.stack([layer[:half], layer[half:]], axis=1)
+            comm = _commit_rows_device(pair_rows, 2)
+            fri_comms.append(comm)
+            # keep full layers on device; only the handful of opened
+            # values is transferred later (a full-layer transfer per
+            # depth costs seconds over a tunneled device)
+            fri_layers_vals.append(layer)
+            coin.reseed(comm.root)
+            alpha = coin.draw()
+            x0s, inv2x0 = _x0_tables(size)
+            layer = _fold_fn(size)(
+                layer, jnp.asarray(limb.from_ints([alpha]))[0],
+                jnp.asarray(x0s), jnp.asarray(inv2x0))
+            size = half
 
     rem_host = _np.asarray(layer)
     rem_coeffs = ntt.coset_interpolate(rem_host, 1, _np)
@@ -681,15 +868,16 @@ def prove_trace_device(trace, air: ZkLispAir, air_pi,
     t_rows = _np.asarray(_gather_rows_fn(w, nq_pad)(trace_lde, idx_dev))
     q_rows = _np.asarray(_gather_rows_fn(Q, nq_pad)(q_lde, idx_dev))
 
-    def open_rows(comm: _DevCommitment, rows_h, idxs) -> QueryOpenings:
-        out_rows = [[int(v) for v in limb.to_ints(rows_h[j])]
-                    for j in range(len(idxs))]
-        return QueryOpenings(
-            out_rows, comm.open_paths(list(idxs), pad_to=nq_pad))
-
     with phase("openings", nq=len(positions)):
-        trace_open = open_rows(trace_comm, t_rows, positions)
-        constraint_open = open_rows(constraint_comm, q_rows, positions)
+        tc_paths = open_paths_multi(
+            [trace_comm, constraint_comm],
+            [list(positions), list(positions)], nq_pad)
+        trace_open = QueryOpenings(
+            [[int(v) for v in limb.to_ints(t_rows[j])]
+             for j in range(len(positions))], tc_paths[0])
+        constraint_open = QueryOpenings(
+            [[int(v) for v in limb.to_ints(q_rows[j])]
+             for j in range(len(positions))], tc_paths[1])
 
     with phase("fri_openings"):
         # fold the query positions through all layers on host first, so
@@ -717,6 +905,8 @@ def prove_trace_device(trace, air: ZkLispAir, air_pi,
             _fri_vals_fn(tuple(v.shape[0] for v in fri_layers_vals))(
                 tuple(fri_layers_vals),
                 jnp.asarray(_np.stack(idxs)))))    # (layers*2*nq_pad,)
+        all_paths = open_paths_multi(
+            fri_comms, [f for f, _ in foldeds], nq_pad)
         fri_open: List[FriLayerOpenings] = []
         for d, (folded, half) in enumerate(foldeds):
             nf = len(folded)
@@ -724,8 +914,7 @@ def prove_trace_device(trace, air: ZkLispAir, air_pi,
             pairs = [(int(vals_flat[base + i]),
                       int(vals_flat[base + nq_pad + i]))
                      for i in range(nf)]
-            paths = fri_comms[d].open_paths(folded, pad_to=nq_pad)
-            fri_open.append(FriLayerOpenings(pairs, paths))
+            fri_open.append(FriLayerOpenings(pairs, all_paths[d]))
 
     return StarkProof(
         context=context,
