@@ -80,3 +80,17 @@ def test_device_proof_identical_to_host(setup):
     dev = prove_trace_device(trace, air, air_pi, OPTS)
     assert serialize_stark_proof(dev) == serialize_stark_proof(host)
     verify_trace(dev, air_pi)
+
+
+def test_device_proof_identical_with_grinding(setup, monkeypatch):
+    """grind > 0: the device-side PoW hit test must find the same
+    (smallest) nonce as the host scan, keeping transcripts identical."""
+    trace, air, air_pi = setup
+    from zklisp_tpu.prove.stark_device import prove_trace_device
+    opts = ProofOptions(num_queries=8, blowup=8, grinding_factor=8)
+    monkeypatch.delenv("ZKL_DEVICE", raising=False)
+    host = prove_trace(trace, air, air_pi, opts, np)
+    monkeypatch.setenv("ZKL_DEVICE", "jax")
+    dev = prove_trace_device(trace, air, air_pi, opts)
+    assert serialize_stark_proof(dev) == serialize_stark_proof(host)
+    verify_trace(dev, air_pi)

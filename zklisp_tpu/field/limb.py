@@ -497,6 +497,30 @@ def dot(a, b, xp):
     return _reduce_cols_xla(cols, xp, J * (f128.P - 1) ** 2)
 
 
+def sum_mod(a, axis: int, xp):
+    """Sum field elements along `axis` with ONE reduction.
+
+    ~8x cheaper than a `dot` with a ones vector: no (.., 8, 8) limb
+    product materialization — just a u32 digit sum plus one
+    carry-lookahead reduction.  Safe for axis lengths <= 65536
+    (n * (2^16-1) must stay < 2^32 per digit column)."""
+    n = a.shape[axis]
+    assert n <= 65536, "sum_mod: digit-column overflow; split the sum"
+    if xp is _np:
+        cols = a.sum(axis=axis, dtype=_np.uint64)
+        limbs = []
+        carry = _np.zeros(cols.shape[:-1], dtype=_np.uint64)
+        for k in range(NLIMB):
+            s = cols[..., k] + carry
+            limbs.append((s & LIMB_MASK).astype(_np.uint64))
+            carry = s >> 16
+        limbs.extend([carry & LIMB_MASK, carry >> 16])
+        limbs = [l.astype(_np.uint32) for l in limbs]
+        return _reduce_wide(limbs, _np)
+    cols = xp.sum(a, axis=axis, dtype=xp.uint32)
+    return _reduce_cols_xla(cols, xp, n * (f128.P - 1))
+
+
 def mul_small(a, k, xp):
     """Multiply by a small uint (< 2^16) constant."""
     al = _split(a, xp)

@@ -131,6 +131,19 @@ class RandomCoin:
                 if grinding_factor < 14 else 1 << 15
         start = 0
         while start < (1 << 62):
+            if on_device and grinding_factor <= 32:
+                # device-side hit test: one int32 crosses back instead
+                # of the (B, 4) word block
+                from . import kernels
+                import jax.numpy as jnp
+                hit = int(kernels.grind_hit_fn(batch, grinding_factor)(
+                    jnp.asarray(seed_limbs[0]),
+                    (jnp.uint32(start & 0xFFFFFFFF),
+                     jnp.uint32(start >> 32))))
+                if hit < batch:
+                    return start + hit
+                start += batch
+                continue
             if on_device:
                 from . import kernels
                 import jax.numpy as jnp

@@ -106,3 +106,28 @@ def grind_scan_fn(batch: int):
         return out[:, :4]                                # (B, 4) 16-bit limbs
 
     return jax.jit(fn, static_argnums=())
+
+
+@lru_cache(maxsize=None)
+def grind_hit_fn(batch: int, grinding_factor: int):
+    """Jitted PoW scan returning only the FIRST hit index (or `batch`).
+
+    Same Poseidon scan as grind_scan_fn, but the pass test (low 64
+    digest bits ≡ 0 mod 2^g) runs on device and a single int32 crosses
+    back — the (B, 4) word transfer costs ~0.2 s per segment over a
+    tunneled device."""
+    import jax
+    jnp = _jnp()
+    assert 0 < grinding_factor <= 32
+    scan = grind_scan_fn(batch)
+    mask = jnp.uint32((1 << grinding_factor) - 1)
+
+    def fn(seed_chunk, start):
+        out4 = scan(seed_chunk, start)                   # (B, 4) u16 limbs
+        lo32 = out4[:, 0] | (out4[:, 1] << 16)
+        ok = (lo32 & mask) == 0
+        idx = jnp.where(ok, jnp.arange(batch, dtype=jnp.int32),
+                        jnp.int32(batch))
+        return jnp.min(idx)
+
+    return jax.jit(fn)

@@ -277,20 +277,8 @@ def eval_polys_at(polys, z: int, xp) -> List[int]:
         cur = f128.mul(cur, z)
     zpow = xp.asarray(limb.from_ints(zp))          # (n, 8)
     terms = limb.mul(polys, zpow[None], xp)        # (C, n, 8)
-    acc = terms
-    while acc.shape[1] > 1:
-        m = acc.shape[1]
-        chunk = 64 if m >= 64 else m
-        rem = m % chunk
-        if rem:
-            pad = limb.zeros((acc.shape[0], chunk - rem), xp)
-            acc = xp.concatenate([acc, pad], axis=1)
-            m = acc.shape[1]
-        resh = acc.reshape(acc.shape[0], m // chunk, chunk, limb.NLIMB)
-        ones = xp.asarray(limb.from_ints([1] * chunk))
-        acc = limb.dot(resh, xp.broadcast_to(
-            ones, resh.shape), xp)
-    return [int(v) for v in limb.to_ints(_np.asarray(acc[:, 0]))]
+    acc = limb.sum_mod(terms, 1, xp)
+    return [int(v) for v in limb.to_ints(_np.asarray(acc))]
 
 
 def vec_inv(v: FVec) -> FVec:

@@ -355,11 +355,8 @@ def _quotient_fn(n: int, blowup: int, Q: int, ngc: int, ngs: int,
     pows_f = _np.asarray(ntt.powers_table(N.bit_length() - 1, _np))
 
     def gsum(terms, ng):
-        # terms (ng, N, 8) -> sum over ng
-        ones = jnp.asarray(_np.asarray(limb.from_ints([1] * ng)))
-        return limb.dot(jnp.transpose(terms, (1, 0, 2)),
-                        jnp.broadcast_to(ones[None],
-                                         (N, ng, limb.NLIMB)), jnp)
+        # terms (ng, N, 8) -> sum over ng, one reduction, no transpose
+        return limb.sum_mod(terms, 0, jnp)
 
     def fn(comb, lde, cyc_idx, cyc_vals, cyc_divp, cyc_betas,
            sgl_idx, sgl_vals, sgl_div, sgl_betas, zinv):
@@ -368,8 +365,10 @@ def _quotient_fn(n: int, blowup: int, Q: int, ngc: int, ngs: int,
             cols = lde[cyc_idx]                          # (ngc, N, 8)
             numer = limb.sub(cols, cyc_vals[:, None], jnp)
             resh = numer.reshape(ngc, N // dperiod, dperiod, limb.NLIMB)
-            scaled = limb.mul(resh, cyc_divp[:, None], jnp)
-            scaled = limb.mul(scaled, cyc_betas[:, None, None], jnp)
+            # fold beta into the (tiny) periodic divisor table first —
+            # saves a full-domain limb mul per group
+            divp_b = limb.mul(cyc_divp, cyc_betas[:, None], jnp)
+            scaled = limb.mul(resh, divp_b[:, None], jnp)
             comp = limb.add(
                 comp, gsum(scaled.reshape(ngc, N, limb.NLIMB), ngc), jnp)
         if ngs:
@@ -473,19 +472,7 @@ def _ood_fn(n_cols: int, n: int):
     def fn(polys, zpow):
         # polys: (C, n, 8); zpow: (n, 8)
         terms = limb.mul(polys, zpow[None], jnp)
-        acc = terms
-        while acc.shape[1] > 1:
-            m = acc.shape[1]
-            chunk = 64 if m >= 64 else m
-            rem = m % chunk
-            if rem:
-                pad = limb.zeros((acc.shape[0], chunk - rem), jnp)
-                acc = jnp.concatenate([acc, pad], axis=1)
-                m = acc.shape[1]
-            resh = acc.reshape(acc.shape[0], m // chunk, chunk, limb.NLIMB)
-            ones = jnp.asarray(limb.from_ints([1] * chunk))
-            acc = limb.dot(resh, jnp.broadcast_to(ones, resh.shape), jnp)
-        return acc[:, 0]
+        return limb.sum_mod(terms, 1, jnp)
 
     return jax.jit(fn)
 
