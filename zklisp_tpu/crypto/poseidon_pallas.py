@@ -259,7 +259,10 @@ def _mds_conv_planes(suite_id: bytes, rounds: int):
 
 
 def _use_mxu_mds() -> bool:
-    return bool(os.environ.get("ZKL_PALLAS_MXU_MDS"))
+    """bf16-MXU MDS is the default: ~1.5x faster steady than the VPU
+    limb convolution AND ~60x faster Mosaic compiles per batch shape
+    (3 s vs 213 s measured at B=65536).  ZKL_NO_PALLAS_MXU_MDS reverts."""
+    return not os.environ.get("ZKL_NO_PALLAS_MXU_MDS")
 
 
 @lru_cache(maxsize=None)
