@@ -227,6 +227,11 @@ def cmd_verify(args, json_out: bool, max_bytes: int,
 def main(argv: Optional[List[str]] = None) -> int:
     glob = argparse.ArgumentParser(add_help=False)
     glob.add_argument("--json", action="store_true")
+    glob.add_argument("--log-level", default=None,
+                      choices=["debug", "info", "warn", "error"],
+                      help="enable per-phase tracing logs "
+                           "(reference: zk-lisp --log-level, "
+                           "cli/main.rs:53-60)")
     glob.add_argument("--max-bytes", type=int, default=MAX_BYTES_DEFAULT)
     glob.add_argument("--preflight", default="off",
                       choices=["off", "console", "json"])
@@ -268,6 +273,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     sp = sub.add_parser("repl", parents=[glob])
 
     args = p.parse_args(argv)
+    if args.log_level:
+        from .utils.tracing import configure
+        configure(args.log_level)
     try:
         if args.cmd == "run":
             cmd_run(args, args.json, args.max_bytes, args.preflight,
