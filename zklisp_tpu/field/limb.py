@@ -570,8 +570,39 @@ def exp_int(a, e: int, xp):
     return result
 
 
+def exp_int_scan(a, e: int, xp):
+    """a ** e on the JAX backend with a COMPACT traced graph.
+
+    exp_int unrolls ~2*bits(e) limb muls into the graph (a 128-bit
+    Fermat inverse alone inflates an executable's device compile by
+    tens of seconds); here the square-and-multiply ladder is one
+    lax.scan body over the exponent bits passed as data."""
+    if xp is _np:
+        return exp_int(a, e, xp)
+    import jax
+    bits = []
+    while e > 0:
+        bits.append(e & 1)
+        e >>= 1
+    bits_arr = xp.asarray(_np.asarray(bits, dtype=_np.bool_))
+
+    def body(carry, bit):
+        result, base = carry
+        result = select(
+            xp.broadcast_to(bit, result.shape[:-1]),
+            mul(result, base, xp), result, xp)
+        base = mul(base, base, xp)
+        return (result, base), None
+
+    (result, _), _ = jax.lax.scan(body, (ones(a.shape[:-1], xp), a),
+                                  bits_arr)
+    return result
+
+
 def inv(a, xp):
     """Fermat inverse a^(p-2); zero maps to zero."""
+    if xp is not _np:
+        return exp_int_scan(a, f128.P - 2, xp)
     return exp_int(a, f128.P - 2, xp)
 
 
@@ -602,3 +633,29 @@ def batch_inv(a, xp):
         acc = mul(acc, safe[i], xp)
     out = xp.stack(outs, axis=0)
     return select(zero_mask, zeros(a.shape[:-1], xp), out, xp)
+
+
+def batch_inv_tree(a, xp):
+    """Batch inversion along axis 0 for power-of-two n, in log depth.
+
+    A product tree (pairwise down, distribute up) does ~3n muls in
+    log2(n) vectorized steps plus ONE Fermat exponentiation — the ladder
+    in batch_inv is sequential in n and unusable on device for large
+    batches.  Zeros map to zeros (winterfell convention)."""
+    n = a.shape[0]
+    assert n & (n - 1) == 0, "batch_inv_tree: n must be a power of two"
+    zero_mask = is_zero(a, xp)
+    safe = select(zero_mask, ones(a.shape[:-1], xp), a, xp)
+
+    levels = [safe]
+    cur = safe
+    while cur.shape[0] > 1:
+        cur = mul(cur[0::2], cur[1::2], xp)
+        levels.append(cur)
+    inv_cur = inv(cur, xp)                       # (1, ..., 8)
+    for lvl in reversed(levels[:-1]):
+        inv_left = mul(inv_cur, lvl[1::2], xp)
+        inv_right = mul(inv_cur, lvl[0::2], xp)
+        stacked = xp.stack([inv_left, inv_right], axis=1)
+        inv_cur = stacked.reshape(lvl.shape)
+    return select(zero_mask, zeros(a.shape[:-1], xp), inv_cur, xp)

@@ -500,6 +500,30 @@ def _deep_chunk_fn(w: int, Q: int, chunk: int):
 
 
 @lru_cache(maxsize=None)
+def _lde_xs_dev(n: int, blowup: int):
+    """Device copy of the LDE domain points (cached per shape)."""
+    jnp = _jnp()
+    return jnp.asarray(limb.from_ints(lde_points_host(n, blowup)))
+
+
+@lru_cache(maxsize=None)
+def _deep_inv_fn(N: int):
+    """jitted (xs, z, zg) -> (1/(x-z), 1/(x-zg)) via a product-tree
+    batch inverse — the host Python ladder + 4 MB upload cost ~0.7 s
+    per segment over the tunneled device."""
+    import jax
+    jnp = _jnp()
+
+    def fn(xs, z, zg):
+        d = jnp.concatenate([limb.sub(xs, z[None], jnp),
+                             limb.sub(xs, zg[None], jnp)], axis=0)
+        iv = limb.batch_inv_tree(d, jnp)
+        return iv[:N], iv[N:]
+
+    return jax.jit(fn)
+
+
+@lru_cache(maxsize=None)
 def _deep_mxu_fn(w: int, Q: int, N: int):
     """Whole-domain DEEP composition in ONE dispatch, with the batched
     coefficient dot gt[x] = sum_i c_i * col_i[x] run as an int8-split
@@ -568,6 +592,18 @@ def _fri_chain_fn(N: int, num_layers: int):
     one_fe = limb.from_ints([1])[0]
 
     def fn(deep, seed, x0s, inv2x0s):
+        import contextlib
+
+        from ..crypto import poseidon_pallas as pp
+        # every merge/sponge in the chain goes through the Pallas kernel
+        # (shapes dedupe to ~8 Mosaic compiles) — leaving the ~200 small
+        # tree-level merges on the XLA scan path makes the chain's
+        # one-time device compile cost minutes
+        with (pp.force_pallas() if pp.enabled()
+              else contextlib.nullcontext()):
+            return _chain(deep, seed, x0s, inv2x0s)
+
+    def _chain(deep, seed, x0s, inv2x0s):
         layer = deep
         size = N
         layers, levels_all, roots = [], [], []
@@ -756,11 +792,10 @@ def prove_trace_device(trace, air: ZkLispAir, air_pi,
     gzg = sum(g_ * t for g_, t in zip(gammas, ood_t_next)) % P
     gzg = (gzg + sum(d * q for d, q in zip(deltas, ood_q_next))) % P
 
-    xs_int = lde_points_host(n, blowup)
-    inv_xz = jnp.asarray(limb.from_ints(
-        f128.batch_inv([(x - z) % P for x in xs_int])))
-    inv_xzg = jnp.asarray(limb.from_ints(
-        f128.batch_inv([(x - zg) % P for x in xs_int])))
+    inv_xz, inv_xzg = _deep_inv_fn(N)(
+        _lde_xs_dev(n, blowup),
+        jnp.asarray(limb.from_ints([z]))[0],
+        jnp.asarray(limb.from_ints([zg]))[0])
     coeffs = jnp.asarray(limb.from_ints(gammas + deltas))
     gz_dev = jnp.asarray(limb.from_ints([gz]))[0]
     gzg_dev = jnp.asarray(limb.from_ints([gzg]))[0]
