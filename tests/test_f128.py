@@ -98,3 +98,33 @@ def test_encodings():
     assert f128.be_from_le8(b32) == (
         int.from_bytes(b32[0:8], "little")
         + int.from_bytes(b32[8:16], "little") * f128.POW2_64) % f128.P
+
+
+def test_batch_inv_tree_and_scan_inv():
+    """Tree batch inverse + scan-graph Fermat inverse (device helpers)."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    vals = [int.from_bytes(rng.bytes(16), "little") % f128.P
+            for _ in range(8)]
+    vals[2] = 0                                    # zero maps to zero
+    a = limb.from_ints(vals)
+    want = [pow(v, f128.P - 2, f128.P) if v else 0 for v in vals]
+    for xp, arr in ((np, a), (jnp, jnp.asarray(a))):
+        got = [int(v) for v in
+               limb.to_ints(np.asarray(limb.batch_inv_tree(arr, xp)))]
+        assert got == want
+        got1 = [int(v) for v in
+                limb.to_ints(np.asarray(limb.inv(arr, xp)))]
+        assert got1 == want
+    # n = 1 edge case
+    one = limb.from_ints([vals[0]])
+    got = limb.to_ints(limb.batch_inv_tree(one, np))
+    assert int(got[0]) == want[0]
+    # sum_mod vs reference
+    rows = np.stack([limb.from_ints(vals), limb.from_ints(vals[::-1])])
+    s = limb.to_ints(limb.sum_mod(rows, 1, np))
+    assert [int(v) for v in s] == [sum(vals) % f128.P] * 2
+    sj = limb.to_ints(np.asarray(limb.sum_mod(jnp.asarray(rows), 1, jnp)))
+    assert [int(v) for v in sj] == [sum(vals) % f128.P] * 2
