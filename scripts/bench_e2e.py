@@ -104,7 +104,16 @@ def main() -> None:
         t0 = time.time()
         agg_pi = agg.build_agg_public(steps)
         agg_pi.pi_digest = pi.digest()
-        proof, digest = agg.recursion_prove(steps, agg_pi, opts)
+        if os.environ.get("ZKL_AGG_PROFILE"):
+            import cProfile
+            import pstats
+            pr = cProfile.Profile()
+            pr.enable()
+            proof, digest = agg.recursion_prove(steps, agg_pi, opts)
+            pr.disable()
+            pstats.Stats(pr).sort_stats("cumulative").print_stats(25)
+        else:
+            proof, digest = agg.recursion_prove(steps, agg_pi, opts)
         t_agg = time.time() - t0
         print(f"aggregate: {t_agg:.2f}s", flush=True)
         if args.verify:

@@ -26,7 +26,8 @@ _tried = False
 def _build(dst: str = _SO) -> bool:
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-o", dst, _SRC],
+            ["g++", "-O3", "-shared", "-fPIC", "-pthread", "-o", dst,
+             _SRC],
             check=True, capture_output=True, timeout=120)
         return True
     except Exception:

@@ -13,9 +13,12 @@
 //
 // Build: g++ -O3 -shared -fPIC (no external deps); loaded via ctypes.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <cstddef>
+#include <thread>
+#include <vector>
 
 typedef unsigned __int128 u128;
 typedef uint64_t u64;
@@ -191,14 +194,12 @@ void poseidon12_levels(const uint8_t* inputs, const uint8_t* mds,
     }
 }
 
-// Batched t=12 permutations, final states only (digest workloads:
-// Fiat-Shamir draws, grinding, Merkle hashing on the host path).
-void poseidon12_batch(const uint8_t* inputs, const uint8_t* mds,
-                      const uint8_t* rc, size_t batch, size_t rounds,
-                      uint8_t* out) {
-    u128 m[144];
-    for (int i = 0; i < 144; i++) m[i] = load_le(mds + 16 * i);
-    for (size_t b = 0; b < batch; b++) {
+// One contiguous range of the t=12 batch (worker body; see
+// poseidon12_batch below for the threaded dispatcher).
+static void poseidon12_range(const u128* m, const uint8_t* inputs,
+                             const uint8_t* rc, size_t lo, size_t hi,
+                             size_t rounds, uint8_t* out) {
+    for (size_t b = lo; b < hi; b++) {
         u128 s[12];
         for (int i = 0; i < 12; i++)
             s[i] = load_le(inputs + 16 * (12 * b + i));
@@ -222,6 +223,34 @@ void poseidon12_batch(const uint8_t* inputs, const uint8_t* mds,
         for (int i = 0; i < 12; i++)
             store_le(out + 16 * (12 * b + i), s[i]);
     }
+}
+
+// Batched t=12 permutations, final states only (digest workloads:
+// Fiat-Shamir draws, grinding, Merkle hashing on the host path).
+// Large batches split across hardware threads (ctypes releases the
+// GIL around the call, so the split is a real speedup).
+void poseidon12_batch(const uint8_t* inputs, const uint8_t* mds,
+                      const uint8_t* rc, size_t batch, size_t rounds,
+                      uint8_t* out) {
+    u128 m[144];
+    for (int i = 0; i < 144; i++) m[i] = load_le(mds + 16 * i);
+    size_t hw = std::thread::hardware_concurrency();
+    size_t nthreads = (batch >= 512 && hw > 1)
+        ? std::min<size_t>(hw, 8) : 1;
+    if (nthreads <= 1) {
+        poseidon12_range(m, inputs, rc, 0, batch, rounds, out);
+        return;
+    }
+    std::vector<std::thread> ts;
+    size_t per = (batch + nthreads - 1) / nthreads;
+    for (size_t t = 0; t < nthreads; t++) {
+        size_t lo = t * per;
+        size_t hi = std::min(batch, lo + per);
+        if (lo >= hi) break;
+        ts.emplace_back(poseidon12_range, m, inputs, rc, lo, hi,
+                        rounds, out);
+    }
+    for (auto& th : ts) th.join();
 }
 
 }  // extern "C"
