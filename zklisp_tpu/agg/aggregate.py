@@ -620,6 +620,32 @@ def build_agg_trace(agg_pi: AggAirPublicInputs,
     rom_i = [fold(b) for b in agg_pi.rom_s_initial]
     rom_f = [fold(b) for b in agg_pi.rom_s_final]
 
+    # Per-child re-verification work (FS replay, Merkle root re-hash,
+    # DEEP/FRI aggregates) is independent across children and dominated
+    # by native/numpy calls that release the GIL — compute it in a
+    # thread pool before the (cheap, sequential) chaining loop below.
+    def _child_work(s: StepProof):
+        ch = _child_challenges(s)
+        t_err, c_err = _merkle_root_errors(s, ch)
+        return {
+            "t_err": t_err, "c_err": c_err,
+            "deep": _deep_agg(s, ch, beta_deep),
+            "l1": _fri_layer1_agg(s, ch, beta_l1),
+            "path": (_fri_path_agg(s, ch, delta_depth, 0)
+                     if len(s.proof.inner.fri_openings) >= 2 else 0),
+            "paths": _fri_paths_agg(s, ch, delta_depth, beta_paths),
+            "sample": _sample_fri_fold(s, ch),
+        }
+
+    import os as _os
+    from concurrent.futures import ThreadPoolExecutor
+    workers = min(8, (_os.cpu_count() or 1), n_children)
+    if workers > 1:
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            child_vals = list(pool.map(_child_work, steps))
+    else:
+        child_vals = [_child_work(s) for s in steps]
+
     prev = None
     v_acc = 0
     count_acc = 0
@@ -652,14 +678,11 @@ def build_agg_trace(agg_pi: AggAirPublicInputs,
             rs_err = (rs_err + rs_out - rs_f) % P
             rom_err0 = (rom_err0 + rom_out[0] - rom_f[0]) % P
 
-        ch = _child_challenges(s)
-        t_err, c_err = _merkle_root_errors(s, ch)
-        deep_agg = _deep_agg(s, ch, beta_deep)
-        l1_agg = _fri_layer1_agg(s, ch, beta_l1)
-        path_agg = _fri_path_agg(s, ch, delta_depth, 0) \
-            if len(s.proof.inner.fri_openings) >= 2 else 0
-        paths_agg = _fri_paths_agg(s, ch, delta_depth, beta_paths)
-        v0, v1, vnext, alpha_s, x0, x1, q1 = _sample_fri_fold(s, ch)
+        cv = child_vals[i]
+        t_err, c_err = cv["t_err"], cv["c_err"]
+        deep_agg, l1_agg = cv["deep"], cv["l1"]
+        path_agg, paths_agg = cv["path"], cv["paths"]
+        v0, v1, vnext, alpha_s, x0, x1, q1 = cv["sample"]
 
         r_ = i
         trace.set(cols.seg_first, r_, 1)
