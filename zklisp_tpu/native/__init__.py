@@ -35,7 +35,7 @@ def _build(dst: str = _SO) -> bool:
 
 
 _SYMBOLS = ("f128_mul_batch", "f128_add_batch", "rom_chain",
-            "poseidon12_levels", "poseidon12_batch")
+            "rom_chain_from", "poseidon12_levels", "poseidon12_batch")
 
 
 def _open(path: str = _SO):
@@ -81,6 +81,10 @@ def _load():
         lib.rom_chain.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
                                   ctypes.c_char_p, ctypes.c_size_t,
                                   ctypes.c_size_t, ctypes.c_char_p]
+        lib.rom_chain_from.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                       ctypes.c_char_p, ctypes.c_size_t,
+                                       ctypes.c_size_t, ctypes.c_char_p,
+                                       ctypes.c_char_p]
         lib.poseidon12_levels.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
                                           ctypes.c_char_p, ctypes.c_size_t,
                                           ctypes.c_size_t, ctypes.c_char_p]
@@ -122,6 +126,18 @@ def rom_chain(enc_pairs: Sequence[int], mds3_flat: Sequence[int],
     out = ctypes.create_string_buffer(16 * 3 * (rounds + 1) * levels)
     lib.rom_chain(_pack(enc_pairs), _pack(mds3_flat), _pack(rc3_flat),
                   levels, rounds, out)
+    return _unpack(out.raw)
+
+
+def rom_chain_from(enc_pairs: Sequence[int], mds3_flat: Sequence[int],
+                   rc3_flat: Sequence[int], levels: int, rounds: int,
+                   s0_init: int) -> List[int]:
+    """rom_chain with a caller-provided starting s0 lane."""
+    lib = _load()
+    out = ctypes.create_string_buffer(16 * 3 * (rounds + 1) * levels)
+    lib.rom_chain_from(_pack(enc_pairs), _pack(mds3_flat),
+                       _pack(rc3_flat), levels, rounds,
+                       _pack([s0_init]), out)
     return _unpack(out.raw)
 
 

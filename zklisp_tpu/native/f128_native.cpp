@@ -123,11 +123,14 @@ void f128_add_batch(const uint8_t* a, const uint8_t* b, uint8_t* out,
 // states_out: levels*(rounds+1)*3 elements — state before each round
 // (j = 0..rounds-1) plus the final state per level.  s0 chains across
 // levels.
-void rom_chain(const uint8_t* enc, const uint8_t* mds, const uint8_t* rc,
-               size_t levels, size_t rounds, uint8_t* states_out) {
+// Like rom_chain but starting the s0 lane from a caller-provided value
+// (streamed per-segment trace builds restart the chain mid-program).
+void rom_chain_from(const uint8_t* enc, const uint8_t* mds,
+                    const uint8_t* rc, size_t levels, size_t rounds,
+                    const uint8_t* s0_init, uint8_t* states_out) {
     u128 m[9];
     for (int i = 0; i < 9; i++) m[i] = load_le(mds + 16 * i);
-    u128 s0_prev = 0;
+    u128 s0_prev = load_le(s0_init);
     for (size_t lvl = 0; lvl < levels; lvl++) {
         u128 s[3] = {s0_prev, load_le(enc + 16 * (2 * lvl)),
                      load_le(enc + 16 * (2 * lvl + 1))};
@@ -154,6 +157,12 @@ void rom_chain(const uint8_t* enc, const uint8_t* mds, const uint8_t* rc,
             store_le(base + 16 * (3 * rounds + i), s[i]);
         s0_prev = s[0];
     }
+}
+
+void rom_chain(const uint8_t* enc, const uint8_t* mds, const uint8_t* rc,
+               size_t levels, size_t rounds, uint8_t* states_out) {
+    uint8_t zero[16] = {0};
+    rom_chain_from(enc, mds, rc, levels, rounds, zero, states_out);
 }
 
 // Batched t=12 Poseidon2 permutations with recorded round states.

@@ -67,7 +67,19 @@ def prove_program(program: Program, pub_inputs: pi_mod.PublicInputs,
     if not segments:
         raise ProveError("segment planner returned no segments")
 
-    full_trace = tb.build_trace(program, pub_inputs)
+    # Streamed trace source for long traces: only one segment of rows
+    # is ever resident (ZKL_STREAM_TRACE=1 forces it on, =0 off;
+    # default: traces >= 2^19 rows).  The reference builds the full
+    # trace unconditionally (prove.rs:995-999).
+    n_rows_total = max(s.r_end for s in segments)
+    stream_env = os.environ.get("ZKL_STREAM_TRACE", "")
+    stream_mode = (stream_env not in ("", "0")
+                   or (not stream_env and n_rows_total >= (1 << 19)))
+    if stream_mode:
+        from ..trace.stream import StreamedTrace
+        full_trace = StreamedTrace(program, pub_inputs, segments)
+    else:
+        full_trace = tb.build_trace(program, pub_inputs)
     suite_id = pub_inputs.program_id
     rom_acc = (tb.rom_acc_from_program(program)
                if any(pub_inputs.program_id) else (0, 0, 0))
@@ -157,8 +169,14 @@ def segment_limbs16(full_trace, program: Program,
                     pub_inputs: pi_mod.PublicInputs,
                     seg: tb.Segment) -> _np.ndarray:
     """(C, n, 8) uint16 limb slice of the full trace for one segment."""
-    full16 = full_trace.to_limbs16()
     _, seg_layout = _segment_layout(program, pub_inputs, seg)
+    from ..trace.stream import StreamedTrace
+    if isinstance(full_trace, StreamedTrace):
+        window = full_trace.segment_table(seg)
+        seg_t = window.slice_rows(0, window.length,
+                                  seg_layout.seg_to_full)
+        return seg_t.to_limbs16()
+    full16 = full_trace.to_limbs16()
     return _np.ascontiguousarray(
         full16[seg_layout.seg_to_full, seg.r_start:seg.r_end])
 
@@ -171,15 +189,23 @@ def prove_segment(suite_id: bytes, rom_acc: Tuple[int, int, int],
                   prev_state: Optional[tb.PrevState],
                   dev16=None) -> Tuple[StepProof, bytes]:
     eff_mask, seg_layout = _segment_layout(program, pub_inputs, seg)
+    from ..trace.stream import StreamedTrace
+    streaming = isinstance(full_trace, StreamedTrace)
 
     from ..utils.tracing import phase
     with phase("segment_trace", rows=seg.r_end - seg.r_start):
-        trace, state_in_hash, state_out_hash = \
-            tb.build_segment_trace_with_state(full_trace, seg, seg_layout,
-                                              prev_state)
+        if streaming:
+            window = full_trace.segment_table(seg)
+            trace, state_in_hash, state_out_hash = \
+                tb.segment_from_window(window, seg_layout, prev_state)
+        else:
+            trace, state_in_hash, state_out_hash = \
+                tb.build_segment_trace_with_state(full_trace, seg,
+                                                  seg_layout, prev_state)
 
     with phase("boundaries"):
-        boundaries = segment_boundaries_from_full(full_trace, seg)
+        boundaries = (full_trace.boundaries(seg) if streaming
+                      else segment_boundaries_from_full(full_trace, seg))
 
     num_partitions, hash_rate = select_partitions_for_trace(
         trace.width, trace.length)
@@ -209,8 +235,9 @@ def prove_segment(suite_id: bytes, rom_acc: Tuple[int, int, int],
         # dev16, when given, is that slice already device_put (upload
         # prefetched behind the previous segment's compute).
         seg16 = (dev16 if dev16 is not None
-                 else segment_limbs16(full_trace, program, pub_inputs,
-                                      seg))
+                 else (trace.to_limbs16() if streaming
+                       else segment_limbs16(full_trace, program,
+                                            pub_inputs, seg)))
         inner = prove_trace_device(trace, air, air_pi, wf_opts,
                                    limbs16=seg16)
     else:

@@ -173,18 +173,26 @@ def op_to_one_hot(op: O.Op) -> List[int]:
     return v
 
 
-def _fill_vm(trace: TraceTable, prog: Program, pi: pi_mod.PublicInputs,
-             mem: Dict[int, int], ram_events: List[Tuple[int, int, int, int]]
-             ) -> None:
-    cols = Columns.baseline()
-    steps = STEPS_PER_LEVEL_P2
-    regs = [0] * NR
+class VmSimState:
+    """Cross-level VM simulator state at a level boundary (streamed
+    segment builds restart _fill_vm mid-program from one of these)."""
+    __slots__ = ("regs", "pending_regs", "merkle_acc", "mem",
+                 "events_len")
 
+    def __init__(self, regs, pending_regs, merkle_acc, mem, events_len):
+        self.regs = regs
+        self.pending_regs = pending_regs
+        self.merkle_acc = merkle_acc
+        self.mem = mem
+        self.events_len = events_len
+
+
+def initial_vm_regs(pi: pi_mod.PublicInputs) -> List[int]:
+    regs = [0] * NR
     main_slots = pi_mod.encode_main_args_to_slots(pi.main_args)
     if len(main_slots) > NR:
         raise TraceError("too many main_args for VM register file")
     tail_start = NR - len(main_slots)
-
     for i, arg in enumerate(pi.secret_args):
         if i >= tail_start:
             break
@@ -192,17 +200,46 @@ def _fill_vm(trace: TraceTable, prog: Program, pi: pi_mod.PublicInputs,
             raise TraceError(
                 "non-u64 secret arg not yet supported for VM registers")
         regs[i] = int(arg.value)
-
     for j, val in enumerate(main_slots):
         regs[tail_start + j] = val
+    return regs
 
-    pending_regs: List[int] = []
+
+def _fill_vm(trace: TraceTable, prog: Program, pi: pi_mod.PublicInputs,
+             mem: Dict[int, int],
+             ram_events: List[Tuple[int, int, int, int]],
+             lvl_start: int = 0, lvl_end: Optional[int] = None,
+             state: Optional[VmSimState] = None,
+             capture_at: Optional[set] = None,
+             captures: Optional[dict] = None) -> None:
+    cols = Columns.baseline()
+    steps = STEPS_PER_LEVEL_P2
+
+    if state is not None:
+        regs = list(state.regs)
+        pending_regs = list(state.pending_regs)
+        merkle_last_out = state.merkle_acc
+    else:
+        assert lvl_start == 0, "mid-program start requires a VmSimState"
+        regs = initial_vm_regs(pi)
+        pending_regs = []
+        merkle_last_out = 0
+
     suite_id = prog.program_id
     suite = pos.get_poseidon_suite(suite_id)
 
     op_cols = cols.op_columns()
+    if lvl_end is None:
+        lvl_end = len(prog.ops)
 
-    for lvl, op in enumerate(prog.ops):
+    def _snapshot() -> VmSimState:
+        return VmSimState(list(regs), list(pending_regs), merkle_last_out,
+                          dict(mem), len(ram_events))
+
+    for lvl in range(lvl_start, lvl_end):
+        op = prog.ops[lvl]
+        if capture_at is not None and lvl in capture_at:
+            captures[lvl] = _snapshot()
         next_regs = list(regs)
 
         if lvl == 0:
@@ -484,14 +521,10 @@ def _fill_vm(trace: TraceTable, prog: Program, pi: pi_mod.PublicInputs,
                 trace.set(cols.merkle_leaf, row_map, leaf)
                 acc_prev = leaf
             else:
-                prev_fin = row_map
-                for pl in range(lvl - 1, -1, -1):
-                    pbase = pl * steps
-                    if trace.get(cols.merkle_g,
-                                 pbase + schedule.pos_map()) == 1:
-                        prev_fin = pbase + schedule.pos_final()
-                        break
-                acc_prev = trace.get(cols.merkle_acc, prev_fin)
+                # the most recent merkle level's output (carried state;
+                # equals the reference's back-scan of merkle_g levels —
+                # 0 when no merkle level precedes)
+                acc_prev = merkle_last_out
 
             trace.set(cols.merkle_acc, row_map, acc_prev)
             for r in range(row_map + 1, row_final):
@@ -512,6 +545,7 @@ def _fill_vm(trace: TraceTable, prog: Program, pi: pi_mod.PublicInputs,
             out = trace.get(cols.lane_l, row_final)
             for r in range(row_final, base + steps):
                 trace.set(cols.merkle_acc, r, out)
+            merkle_last_out = out
         elif isinstance(op, O.Load):
             trace.set(cols.op_load, row_map, 1)
             _set_sel(trace, row_map, cols.sel_dst0_start, op.dst)
@@ -554,6 +588,9 @@ def _fill_vm(trace: TraceTable, prog: Program, pi: pi_mod.PublicInputs,
             trace.set(cols.pose_active, r, pose_active)
 
         regs = next_regs
+
+    if capture_at is not None and lvl_end in capture_at:
+        captures[lvl_end] = _snapshot()
 
 
 # ---------------------------------------------------------------------------
@@ -1078,6 +1115,21 @@ def build_segment_trace_with_state(full: TraceTable, segment: Segment,
         raise TraceError("segment must be aligned to full levels")
 
     trace = slice_trace_segment_with_layout(full, segment, layout)
+    return _with_state_hashes(trace, layout, prev_state)
+
+
+def segment_from_window(window: TraceTable, layout: SegmentLayout,
+                        prev_state: Optional[PrevState] = None
+                        ) -> Tuple[TraceTable, bytes, bytes]:
+    """build_segment_trace_with_state for a window-local full-layout
+    table (streamed trace source): rows are already segment-local."""
+    trace = window.slice_rows(0, window.length, layout.seg_to_full)
+    return _with_state_hashes(trace, layout, prev_state)
+
+
+def _with_state_hashes(trace: TraceTable, layout: SegmentLayout,
+                       prev_state: Optional[PrevState]
+                       ) -> Tuple[TraceTable, bytes, bytes]:
     state_in = vm_state_hash_row(trace, schedule.pos_map(), layout.cols)
     state_out = vm_state_hash_row(trace, trace.length - 1, layout.cols)
     if prev_state is not None and prev_state.state_out_hash != state_in:
