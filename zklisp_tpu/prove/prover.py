@@ -88,25 +88,52 @@ def prove_program(program: Program, pub_inputs: pi_mod.PublicInputs,
     n_seg = len(segments)
 
     if max_parallel == 1 or n_seg == 1:
-        # Device mode: enqueue every segment's trace upload up front.
+        # Device mode: enqueue segment trace uploads ahead of compute.
         # jax.device_put is async, so the (slow, tunneled) host->device
         # transfers overlap the per-segment device compute instead of
-        # sitting inside each segment's LDE stage.
+        # sitting inside each segment's LDE stage.  Full-trace mode
+        # prefetches everything up front (slices are cheap); streamed
+        # mode double-buffers one segment ahead so only two windows are
+        # ever resident.
         dev16s = [None] * n_seg
+        windows = [None] * n_seg
+        prefetch = None
         if _device_mode():
             import jax
-            for i, seg in enumerate(segments):
-                dev16s[i] = jax.device_put(
-                    segment_limbs16(full_trace, program, pub_inputs, seg))
+            if stream_mode:
+                from concurrent.futures import ThreadPoolExecutor
+                prefetch = ThreadPoolExecutor(max_workers=1)
+
+                def _prep(seg):
+                    _, seg_layout = _segment_layout(program, pub_inputs,
+                                                    seg)
+                    window = full_trace.segment_table(seg)
+                    seg_t = window.slice_rows(0, window.length,
+                                              seg_layout.seg_to_full)
+                    return window, jax.device_put(seg_t.to_limbs16())
+            else:
+                for i, seg in enumerate(segments):
+                    dev16s[i] = jax.device_put(
+                        segment_limbs16(full_trace, program, pub_inputs,
+                                        seg))
         steps = []
         prev_state: Optional[tb.PrevState] = None
+        fut = (prefetch.submit(_prep, segments[0])
+               if prefetch is not None else None)
         for i, seg in enumerate(segments):
+            if fut is not None:
+                windows[i], dev16s[i] = fut.result()
+                fut = (prefetch.submit(_prep, segments[i + 1])
+                       if i + 1 < n_seg else None)
             step, state_out = prove_segment(
                 suite_id, rom_acc, i, n_seg, seg, full_trace, program,
                 pub_inputs, base_opts, opts.min_security_bits, prev_state,
-                dev16=dev16s[i])
+                dev16=dev16s[i], window=windows[i])
             steps.append(step)
+            windows[i] = dev16s[i] = None
             prev_state = tb.PrevState(state_out)
+        if prefetch is not None:
+            prefetch.shutdown(wait=False)
         return steps
 
     # Parallel segment proving (the reference's bounded rayon pool,
@@ -187,7 +214,7 @@ def prove_segment(suite_id: bytes, rom_acc: Tuple[int, int, int],
                   pub_inputs: pi_mod.PublicInputs,
                   base_opts: ProofOptions, min_bits: int,
                   prev_state: Optional[tb.PrevState],
-                  dev16=None) -> Tuple[StepProof, bytes]:
+                  dev16=None, window=None) -> Tuple[StepProof, bytes]:
     eff_mask, seg_layout = _segment_layout(program, pub_inputs, seg)
     from ..trace.stream import StreamedTrace
     streaming = isinstance(full_trace, StreamedTrace)
@@ -195,7 +222,8 @@ def prove_segment(suite_id: bytes, rom_acc: Tuple[int, int, int],
     from ..utils.tracing import phase
     with phase("segment_trace", rows=seg.r_end - seg.r_start):
         if streaming:
-            window = full_trace.segment_table(seg)
+            if window is None:
+                window = full_trace.segment_table(seg)
             trace, state_in_hash, state_out_hash = \
                 tb.segment_from_window(window, seg_layout, prev_state)
         else:
