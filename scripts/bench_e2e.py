@@ -56,6 +56,10 @@ def main() -> None:
     ap.add_argument("--grind", type=int, default=16)
     ap.add_argument("--blowup", type=int, default=16)
     ap.add_argument("--security-bits", type=int, default=0)
+    ap.add_argument("--concurrency", type=int, default=2,
+                    help="in-flight segments (device threads; the "
+                         "reference rollup-bench config uses "
+                         "max_concurrent_segments=8 on an M3 Max)")
     ap.add_argument("--verify", action="store_true")
     ap.add_argument("--no-agg", action="store_true")
     ap.add_argument("--once", action="store_true",
@@ -84,7 +88,8 @@ def main() -> None:
           .build())
     opts = ProverOptions(queries=args.queries, blowup=args.blowup,
                          grind=args.grind,
-                         min_security_bits=args.security_bits)
+                         min_security_bits=args.security_bits,
+                         max_concurrent_segments=args.concurrency)
 
     t0 = time.time()
     trace = tb.build_trace(prog, pi)

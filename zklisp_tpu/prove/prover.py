@@ -137,10 +137,34 @@ def prove_program(program: Program, pub_inputs: pi_mod.PublicInputs,
         return steps
 
     # Parallel segment proving (the reference's bounded rayon pool,
-    # prove.rs:1017-1051).  Python threads would serialize on the GIL for
-    # the host compute path, so fork a process pool AFTER building the
-    # full trace: children inherit it copy-on-write and only receive the
-    # segment index; results come back as serialized step proofs.
+    # prove.rs:1017-1051; prev_state chaining is not checked in parallel
+    # mode, matching the reference).
+    if _device_mode():
+        # Device path: THREADS, not forks — XLA dispatch releases the
+        # GIL, so in-flight segments keep the chip busy through each
+        # other's host-side phases, and forked children would each pay
+        # the per-process first-dispatch device compiles.  Segment 0
+        # runs alone first to warm every stage executable (two threads
+        # tracing the same jit would compile it twice).
+        steps = [None] * n_seg
+
+        def _run(i: int) -> None:
+            step, _ = prove_segment(
+                suite_id, rom_acc, i, n_seg, segments[i], full_trace,
+                program, pub_inputs, base_opts, opts.min_security_bits,
+                None)
+            steps[i] = step
+
+        _run(0)
+        if n_seg > 1:
+            with ThreadPoolExecutor(max_workers=max_parallel) as ex:
+                list(ex.map(_run, range(1, n_seg)))
+        return steps
+
+    # Host path: fork a process pool AFTER building the full trace
+    # (Python threads would serialize on the GIL): children inherit the
+    # trace copy-on-write and only receive the segment index; results
+    # come back as serialized step proofs.
     import multiprocessing as mp
     global _FORK_STATE
     _FORK_STATE = (suite_id, rom_acc, n_seg, segments, full_trace,
