@@ -4,68 +4,175 @@
 Default mode proves a full 2^16-row trace at the reference rollup-bench
 config (BASELINE.md: queries=64, blowup=16, grind=16) with the jit-staged
 device prover — 16 segments + STARK-in-STARK aggregation — and reports
-proved rows/s over the total wall clock (trace build + prove + aggregate).
-First run on a cold XLA cache pays kernel compiles (~6-8 min); the
-persistent cache in .jax_cache/ makes subsequent runs steady-state.
+proved trace rows/s. The headline value is the STEADY-STATE round (all
+executables warm, the throughput of a long-running prover); the cold
+round including per-process first-execution compiles is in `detail`.
 
-`--lde-commit` keeps the previous kernel-level metric (trace LDE +
-Merkle commitment throughput of one 4096x219 segment).
+Robustness contract (the driver records this output as BENCH_r{N}.json):
+ALWAYS prints exactly ONE JSON line on stdout and exits 0 —
+  {"metric": ..., "value": N, "unit": "rows/s", "vs_baseline": N, ...}
+on success, or the same shape with "value": null plus an "error" field
+carrying a structured diagnosis when the tunneled TPU backend is
+unavailable or the run times out. The flaky axon backend is probed in a
+THROWAWAY SUBPROCESS with bounded retries before the real bench starts,
+so a failed init can never poison or hang the measuring process.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "rows/s", "vs_baseline": N}
-
-vs_baseline is reported against the reference's published numbers; the
-reference repo publishes none (BASELINE.md), so 1.0 is used as the
-placeholder denominator.
+Modes: default = e2e north star; --small = weakened params (CI smoke);
+--cpu = force CPU backend; --lde-commit = legacy kernel-level metric.
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
-os.environ.setdefault("XLA_FLAGS", "")
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+# Bounded-retry policy for the axon tunnel: each probe subprocess gets
+# PROBE_TIMEOUT_S; after a failure we wait RETRY_WAIT_S and try again.
+PROBE_ATTEMPTS = 3
+PROBE_TIMEOUT_S = 420      # first device contact can take ~3-7 min
+RETRY_WAIT_S = 90
+BENCH_TIMEOUT_S = 3000     # hard budget for the full e2e run (cold+steady)
+
+_PROBE_SRC = r"""
+import json, time, sys
+t0 = time.time()
+try:
+    import jax, jax.numpy as jnp
+    devs = jax.devices()
+    x = jax.device_put(jnp.arange(8, dtype=jnp.uint32))
+    ok = int(jax.device_get(x).sum()) == 28
+    print(json.dumps({"ok": ok, "device": str(devs[0]),
+                      "n_devices": len(devs),
+                      "init_s": round(time.time() - t0, 1)}))
+except Exception as e:
+    print(json.dumps({"ok": False, "error_type": type(e).__name__,
+                      "error": str(e)[:400],
+                      "init_s": round(time.time() - t0, 1)}))
+"""
 
 
-def main_e2e(small: bool) -> None:
-    """North star: full prove+aggregate of a 2^16-row trace (1 chip)."""
-    import runpy
+def _emit(obj: dict) -> None:
+    print(json.dumps(obj), flush=True)
 
-    os.environ.setdefault("ZKL_DEVICE", "jax")
-    here = os.path.dirname(os.path.abspath(__file__))
-    sys.argv = [sys.argv[0]]
+
+def _fail(metric: str, error: str, detail: dict) -> None:
+    _emit({"metric": metric, "value": None, "unit": "rows/s",
+           "vs_baseline": None, "error": error, "detail": detail})
+    sys.exit(0)
+
+
+def probe_backend(cpu: bool) -> dict:
+    """Probe jax backend init + one transfer in a throwaway subprocess.
+
+    Returns the probe dict on success; on persistent failure emits the
+    structured-error JSON line and exits 0 (never raises, never leaves a
+    traceback on stdout).
+    """
+    attempts = []
+    env = dict(os.environ)
+    if cpu:
+        env["ZKL_FORCE_CPU"] = "1"
+    src = _PROBE_SRC
+    if cpu:
+        src = ("import jax\n"
+               "jax.config.update('jax_platforms','cpu')\n") + src
+    for i in range(PROBE_ATTEMPTS):
+        t0 = time.time()
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", src], capture_output=True,
+                text=True, timeout=PROBE_TIMEOUT_S, env=env)
+            line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else "{}"
+            res = json.loads(line)
+        except subprocess.TimeoutExpired:
+            res = {"ok": False, "error_type": "Timeout",
+                   "error": f"backend probe exceeded {PROBE_TIMEOUT_S}s",
+                   "init_s": round(time.time() - t0, 1)}
+        except Exception as e:  # malformed output etc.
+            res = {"ok": False, "error_type": type(e).__name__,
+                   "error": str(e)[:400]}
+        attempts.append(res)
+        if res.get("ok"):
+            return res
+        if i + 1 < PROBE_ATTEMPTS:
+            print(f"# probe attempt {i + 1} failed "
+                  f"({res.get('error_type')}); retrying in {RETRY_WAIT_S}s",
+                  file=sys.stderr, flush=True)
+            time.sleep(RETRY_WAIT_S)
+    _fail("proved_rows_per_sec_2e16_e2e",
+          "TPU backend unavailable after bounded retries "
+          f"({PROBE_ATTEMPTS} attempts x {PROBE_TIMEOUT_S}s): "
+          f"{attempts[-1].get('error_type')}: {attempts[-1].get('error')}",
+          {"probe_attempts": attempts})
+
+
+def run_e2e(small: bool, cpu: bool, extra: list) -> None:
+    """Run scripts/bench_e2e.py in a subprocess under a hard time budget.
+
+    bench_e2e prints its own single JSON line (steady-state headline);
+    we pass it through verbatim. On timeout/crash we synthesize the
+    structured-error line instead.
+    """
+    cmd = [sys.executable, os.path.join(HERE, "scripts", "bench_e2e.py")]
     if small:
-        sys.argv += ["--rows", "8192", "--queries", "8", "--blowup", "8",
-                     "--grind", "0", "--security-bits", "0"]
-    runpy.run_path(os.path.join(here, "scripts", "bench_e2e.py"),
-                   run_name="__main__")
+        cmd += ["--rows", "8192", "--queries", "8", "--blowup", "8",
+                "--grind", "0", "--security-bits", "0"]
+    cmd += extra
+    env = dict(os.environ)
+    env.setdefault("ZKL_DEVICE", "jax")
+    if cpu:
+        env["ZKL_FORCE_CPU"] = "1"
+    t0 = time.time()
+    try:
+        out = subprocess.run(cmd, capture_output=True, text=True,
+                             timeout=BENCH_TIMEOUT_S, env=env)
+    except subprocess.TimeoutExpired as e:
+        stdout = (e.stdout or b"")
+        if isinstance(stdout, bytes):
+            stdout = stdout.decode("utf-8", "replace")
+        _fail("proved_rows_per_sec_2e16_e2e",
+              f"e2e bench exceeded {BENCH_TIMEOUT_S}s budget",
+              {"elapsed_s": round(time.time() - t0, 1),
+               "partial_output": stdout[-2000:]})
+        return
+    # progress lines go to stderr so stdout is exactly one JSON line
+    for line in out.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{") and '"metric"' in line:
+            print(line, flush=True)
+            sys.exit(0)
+        elif line:
+            print("# " + line, file=sys.stderr, flush=True)
+    _fail("proved_rows_per_sec_2e16_e2e",
+          f"e2e bench exited rc={out.returncode} without a JSON result",
+          {"elapsed_s": round(time.time() - t0, 1),
+           "stdout_tail": out.stdout[-1000:],
+           "stderr_tail": out.stderr[-2000:]})
 
 
-def main() -> None:
+def run_lde_commit(small: bool, cpu: bool) -> None:
+    """Legacy kernel-level metric: LDE + Merkle commit of one segment."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    # Allow CPU fallback for local smoke testing: bench.py --cpu
-    if "--cpu" in sys.argv:
+    if cpu:
         jax.config.update("jax_platforms", "cpu")
 
-    small = "--small" in sys.argv
-    n = 512 if small else 4096          # trace rows (segment)
-    width = 219                          # baseline trace width
+    n = 512 if small else 4096
+    width = 219
     blowup = 4 if small else 16
-    N = n * blowup                       # LDE rows (65536 = 2^16)
+    N = n * blowup
     chunk = min(N, 4096)
-    partition_size = 16                  # utils.rs policy for width > 32
+    partition_size = 16
 
     from zklisp_tpu.prove import kernels
 
     dev = jax.devices()[0]
-    t_warm0 = time.time()
-    # Warm up the device<->host path first (the tunneled TPU in this
-    # environment has a very expensive first transfer).
     _ = jax.device_get(jnp.zeros((8,), jnp.uint32))
-    warmup_s = time.time() - t_warm0
 
     rng = np.random.default_rng(7)
     cols = rng.integers(0, 1 << 16, size=(width, n, 8), dtype=np.uint32)
@@ -76,9 +183,8 @@ def main() -> None:
     tree_fn = kernels.merkle_levels_fn(N)
 
     def run_once():
-        lde = lde_fn(cols_d)                       # (width, N, 8)
-        rows = jnp.transpose(lde, (1, 0, 2))       # (N, width, 8)
-        # chunked leaf hashing to bound peak memory
+        lde = lde_fn(cols_d)
+        rows = jnp.transpose(lde, (1, 0, 2))
         leaves = []
         for off in range(0, N, chunk):
             leaves.append(leaf_fn(rows[off:off + chunk]))
@@ -86,7 +192,6 @@ def main() -> None:
         levels = tree_fn(leaves)
         return levels[-1]
 
-    # compile + first run
     t0 = time.time()
     root = run_once()
     root.block_until_ready()
@@ -99,33 +204,28 @@ def main() -> None:
     root.block_until_ready()
     steady = (time.time() - t0) / iters
 
-    rows_per_sec = N / steady
-
-    print(json.dumps({
-        "metric": "lde_commit_rows_per_sec_2e16",
-        "value": round(rows_per_sec, 1),
-        "unit": "rows/s",
-        "vs_baseline": 1.0,
-        "detail": {
-            "trace_rows": n, "lde_rows": N, "width": width,
-            "blowup": blowup, "steady_s": round(steady, 3),
-            "compile_s": round(compile_s, 1),
-            "warmup_s": round(warmup_s, 1),
-            "device": str(dev),
-        },
-    }))
+    _emit({"metric": "lde_commit_rows_per_sec_2e16",
+           "value": round(N / steady, 1), "unit": "rows/s",
+           "vs_baseline": 1.0,
+           "detail": {"trace_rows": n, "lde_rows": N, "width": width,
+                      "blowup": blowup, "steady_s": round(steady, 3),
+                      "compile_s": round(compile_s, 1),
+                      "device": str(dev)}})
 
 
 if __name__ == "__main__":
-    small = "--small" in sys.argv or "--cpu" in sys.argv
-    if "--cpu" in sys.argv:
-        # the sandbox sitecustomize force-selects the axon TPU platform;
-        # env vars are ignored, only a config update before backend init
-        # wins (same trick as tests/conftest.py)
+    argv = sys.argv[1:]
+    cpu = "--cpu" in argv
+    small = "--small" in argv or cpu
+    extra = [a for a in argv
+             if a not in ("--cpu", "--small", "--lde-commit")]
+    if cpu:
         import jax
-
         jax.config.update("jax_platforms", "cpu")
-    if "--lde-commit" in sys.argv:
-        main()
+    if "--lde-commit" in argv:
+        run_lde_commit(small, cpu)
     else:
-        main_e2e(small)
+        probe = probe_backend(cpu)
+        print(f"# backend ok: {probe.get('device')} "
+              f"(init {probe.get('init_s')}s)", file=sys.stderr, flush=True)
+        run_e2e(small, cpu, extra)

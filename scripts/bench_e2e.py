@@ -17,6 +17,13 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+if os.environ.get("ZKL_FORCE_CPU"):
+    # must happen before any backend init (sitecustomize pins
+    # jax_platforms=axon,cpu; env JAX_PLATFORMS is ignored)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 
 def fib_chain_source(n_ops_target: int) -> str:
     """A loop program whose op count lands in (target/2, target]."""
@@ -170,4 +177,14 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # keep stdout machine-readable for bench.py
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        print(json.dumps({
+            "metric": "proved_rows_per_sec_2e16_e2e", "value": None,
+            "unit": "rows/s", "vs_baseline": None,
+            "error": f"{type(e).__name__}: {str(e)[:400]}",
+        }), flush=True)

@@ -730,9 +730,10 @@ def prove_agg(agg_pi: AggAirPublicInputs, steps: Sequence[StepProof],
     trace = build_agg_trace(agg_pi, steps)
     agg_queries = max(opts.queries, 16)
     field_ext = 2 if opts.min_security_bits >= 128 else 1
-    base = ProofOptions(num_queries=agg_queries, blowup=opts.blowup,
-                        grinding_factor=opts.grind,
-                        field_extension=field_ext)
+    base = ProofOptions(
+        num_queries=agg_queries, blowup=opts.blowup,
+        grinding_factor=opts.grind, field_extension=field_ext,
+        assertion_batching=opts.to_proof_options().assertion_batching)
     if opts.min_security_bits >= 64:
         if estimate_conjectured_security_bits(base) < opts.min_security_bits:
             raise AggError(

@@ -346,11 +346,12 @@ def _r_openings(r: _Reader, wide: bool = False) -> QueryOpenings:
 def serialize_stark_proof(p: StarkProof) -> bytes:
     out = bytearray(b"ZTP1")
     o = p.context.options
-    out += struct.pack("<IIHHIBBBBH", p.context.trace_width,
+    out += struct.pack("<IIHHIBBBBHB", p.context.trace_width,
                        p.context.trace_len, o.num_queries, o.blowup,
                        o.grinding_factor, o.field_extension,
                        o.fri_folding_factor, o.fri_remainder_max_degree,
-                       o.num_partitions, o.hash_rate)
+                       o.num_partitions, o.hash_rate,
+                       1 if o.per_assertion else 0)
     out += p.trace_root
     out += p.constraint_root
     # In extension mode (field_extension == 2) every derived-value list
@@ -387,13 +388,15 @@ def serialize_stark_proof(p: StarkProof) -> bytes:
 def deserialize_stark_proof(data: bytes) -> StarkProof:
     r = _Reader(data)
     assert r.take(4) == b"ZTP1", "bad inner proof magic"
-    (tw, tl, nq, blowup, grind, ext, fold, rmd, nparts, hrate) = \
-        struct.unpack("<IIHHIBBBBH", r.take(4 + 4 + 2 + 2 + 4 + 4 + 2))
+    (tw, tl, nq, blowup, grind, ext, fold, rmd, nparts, hrate, flags) = \
+        struct.unpack("<IIHHIBBBBHB", r.take(4 + 4 + 2 + 2 + 4 + 4 + 2 + 1))
     opts = ProofOptions(num_queries=nq, blowup=blowup,
                         grinding_factor=grind, field_extension=ext,
                         fri_folding_factor=fold,
                         fri_remainder_max_degree=rmd,
-                        num_partitions=nparts, hash_rate=hrate)
+                        num_partitions=nparts, hash_rate=hrate,
+                        assertion_batching=("per_assertion" if flags & 1
+                                            else "grouped"))
     ctx = ProofContext(tw, tl, opts)
     trace_root = r.take(32)
     constraint_root = r.take(32)

@@ -23,6 +23,21 @@ class ProofOptions:
     fri_remainder_max_degree: int = 1
     num_partitions: int = 1
     hash_rate: int = 8
+    # Boundary-assertion batching for the constraint composition:
+    #   "grouped"       — one composition coefficient per periodic
+    #                     (column, value, stride) class (TPU-native
+    #                     default; PARITY.md deviation 1)
+    #   "per_assertion" — one coefficient per assertion with a single
+    #                     (x - g^step) divisor each, exactly winterfell's
+    #                     construction (the reference emits only
+    #                     Assertion::single — vm/air/schedule.rs:63-136).
+    #                     O(unique_steps * lde_size) divisor work: use
+    #                     for winterfell parity, not for throughput.
+    assertion_batching: str = "grouped"
+
+    @property
+    def per_assertion(self) -> bool:
+        return self.assertion_batching == "per_assertion"
 
     def with_partitions(self, num_partitions: int,
                         hash_rate: int) -> "ProofOptions":
@@ -61,6 +76,13 @@ class ProofOptions:
         ]
 
 
+def winterfell_compat_env() -> bool:
+    """ZKL_WINTERFELL_COMPAT env toggle (empty string disables)."""
+    import os
+
+    return bool(os.environ.get("ZKL_WINTERFELL_COMPAT"))
+
+
 @dataclass(frozen=True)
 class ProverOptions:
     """Backend-agnostic prover knobs (zk-lisp-proof ProverOptions)."""
@@ -70,10 +92,14 @@ class ProverOptions:
     min_security_bits: int = 64
     max_segment_rows: Optional[int] = None
     max_concurrent_segments: Optional[int] = None
+    winterfell_compat: bool = False
 
     def to_proof_options(self) -> ProofOptions:
-        return ProofOptions(num_queries=self.queries, blowup=self.blowup,
-                            grinding_factor=self.grind)
+        compat = self.winterfell_compat or winterfell_compat_env()
+        return ProofOptions(
+            num_queries=self.queries, blowup=self.blowup,
+            grinding_factor=self.grind,
+            assertion_batching="per_assertion" if compat else "grouped")
 
 
 def select_partitions_for_trace(trace_width: int,

@@ -133,7 +133,23 @@ class AssertionGroup:
 
 
 def group_assertions(assertions: Sequence[Tuple[int, int, int]],
-                     trace_len: int) -> List[AssertionGroup]:
+                     trace_len: int,
+                     per_assertion: bool = False) -> List[AssertionGroup]:
+    """Batch boundary assertions for the constraint composition.
+
+    Default ("grouped") mode batches per periodic (column, value, stride)
+    class — the TPU-native formulation.  `per_assertion` is the
+    winterfell-compat mode (ZKL_WINTERFELL_COMPAT=1 /
+    ProofOptions.assertion_batching): one group (and hence one
+    composition coefficient) per assertion, in `air.get_assertions()`
+    order, each with a single (x - g^step) divisor — matching
+    winterfell's boundary constraints for Assertion::single, the only
+    kind the reference emits (vm/air/schedule.rs:63-136,
+    vm/air/mod.rs:403-445, vm/air/rom.rs:133-141).
+    """
+    if per_assertion:
+        return [AssertionGroup(col, val, (), step)
+                for col, step, val in assertions]
     by_cv = {}
     order = []
     for col, step, val in assertions:
@@ -213,17 +229,22 @@ def group_divisor_inv_lde(groups: Sequence[AssertionGroup], n: int,
     out_map = {}
     singles = [grp for grp in groups if grp.is_single]
 
-    # batch all single divisors together: rows (S, N) of (x - g^s)
+    # batch all single divisors together, deduped by step (per-assertion
+    # mode produces many groups sharing a step; the inverse table is
+    # computed once per unique step and the FVec shared)
     if singles:
         xs = lde_points_host(n, blowup)
+        steps = sorted({grp.step for grp in singles})
         flat = []
-        for grp in singles:
-            gs = pow(g, grp.step, P)
+        for s in steps:
+            gs = pow(g, s, P)
             flat.extend((x - gs) % P for x in xs)
         inv_flat = f128.batch_inv(flat)
-        for i, grp in enumerate(singles):
-            out_map[id(grp)] = FVec.from_ints(
-                inv_flat[i * N:(i + 1) * N], xp)
+        by_step = {}
+        for i, s in enumerate(steps):
+            by_step[s] = FVec.from_ints(inv_flat[i * N:(i + 1) * N], xp)
+        for grp in singles:
+            out_map[id(grp)] = by_step[grp.step]
 
     k = n // CYCLE
     period = CYCLE * blowup
@@ -317,7 +338,7 @@ def prove_trace(trace, air: ZkLispAir, air_pi: AirPublicInputs,
     # 3. constraint composition coefficients
     n_trans = air.num_transition_constraints()
     assertions = air.get_assertions()
-    groups = group_assertions(assertions, n)
+    groups = group_assertions(assertions, n, options.per_assertion)
     alphas = coin.draw_many(n_trans)
     betas = coin.draw_many(len(groups))
 
@@ -505,7 +526,8 @@ def replay_challenges(proof: StarkProof, air, air_pi) -> dict:
     coin = RandomCoin(proof.context.to_elements() + air_pi.to_elements())
     coin.reseed(proof.trace_root)
     alphas = coin.draw_many(air.num_transition_constraints())
-    groups = group_assertions(air.get_assertions(), n)
+    groups = group_assertions(air.get_assertions(), n,
+                              options.per_assertion)
     betas = coin.draw_many(len(groups))
     coin.reseed(proof.constraint_root)
     z = coin.draw()

@@ -444,15 +444,21 @@ def _host_tables(air: ZkLispAir, groups, blowup: int):
 
     sgl_div = _np.zeros((0, N, limb.NLIMB), dtype=_np.uint32)
     if sgl:
+        # dedup by step: per-assertion (winterfell-compat) batching
+        # yields many single groups sharing a step; invert each unique
+        # (x - g^s) vector once and expand by index
         xs = lde_points_host(n, blowup)
+        steps = sorted({grp.step for grp in sgl})
         flat = []
-        for grp in sgl:
-            gs = pow(g, grp.step, P)
+        for s in steps:
+            gs = pow(g, s, P)
             flat.extend((x - gs) % P for x in xs)
         inv_flat = f128.batch_inv(flat)
-        sgl_div = _np.asarray(limb.from_ints(
-            [inv_flat[i * N:(i + 1) * N] for i in range(len(sgl))]),
+        uniq = _np.asarray(limb.from_ints(
+            [inv_flat[i * N:(i + 1) * N] for i in range(len(steps))]),
             dtype=_np.uint32)
+        step_ix = {s: i for i, s in enumerate(steps)}
+        sgl_div = uniq[[step_ix[grp.step] for grp in sgl]]
 
     out = (per_p, p_last, zinv, cyc_pos, cyc_divp, sgl_pos, sgl_div,
            dperiod)
@@ -688,7 +694,8 @@ def prove_trace_device(trace, air: ZkLispAir, air_pi,
         coin = RandomCoin(context.to_elements() + air_pi.to_elements())
         coin.reseed(trace_comm.root)
 
-        groups = group_assertions(air.get_assertions(), n)
+        groups = group_assertions(air.get_assertions(), n,
+                                  options.per_assertion)
         alphas = coin.draw_many(air.num_transition_constraints())
         betas = coin.draw_many(len(groups))
 

@@ -233,7 +233,8 @@ def prove_trace_ext(trace, air, air_pi, options: ProofOptions) -> StarkProof:
 
     # 2. extension composition coefficients
     n_trans = air.num_transition_constraints()
-    groups = group_assertions(air.get_assertions(), n)
+    groups = group_assertions(air.get_assertions(), n,
+                              options.per_assertion)
     alphas = draw_ext_many(coin, n_trans)
     betas = draw_ext_many(coin, len(groups))
 
@@ -456,7 +457,8 @@ def replay_challenges_ext(proof: StarkProof, air, air_pi) -> dict:
     coin = RandomCoin(proof.context.to_elements() + air_pi.to_elements())
     coin.reseed(proof.trace_root)
     alphas = draw_ext_many(coin, air.num_transition_constraints())
-    groups = group_assertions(air.get_assertions(), n)
+    groups = group_assertions(air.get_assertions(), n,
+                              options.per_assertion)
     betas = draw_ext_many(coin, len(groups))
     coin.reseed(proof.constraint_root)
     z = draw_ext(coin)
