@@ -4,6 +4,10 @@ host prover (same Fiat-Shamir transcript, same openings)."""
 import numpy as np
 import pytest
 
+# jit-staged prover compiles are minutes on the CPU backend (seconds to
+# re-trace once .jax_cache is warm); fast tier: pytest -m "not slow"
+pytestmark = pytest.mark.slow
+
 from zklisp_tpu.air.airpi import build_air_pi_for_trace
 from zklisp_tpu.air.zk_air import ZkLispAir
 from zklisp_tpu.compiler import compile_str

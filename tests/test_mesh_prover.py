@@ -1,0 +1,107 @@
+"""Mesh-sharded multi-segment proving: 8 virtual CPU devices.
+
+The conftest forces an 8-device CPU mesh; these tests prove a
+multi-segment program through parallel/mesh_prover.py and assert the
+StepProofs are BYTE-IDENTICAL to the single-device prove_program path
+(the round-1 gap: ntt_mesh had zero call sites in prove/)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from zklisp_tpu.compiler import compile_entry
+from zklisp_tpu.core.pi import PublicInputsBuilder, VmArg
+from zklisp_tpu.prove import prover
+from zklisp_tpu.prove.params import ProverOptions
+
+pytestmark = pytest.mark.slow   # wave executables compile for minutes on CPU
+
+# enough ops for 4 segments at max_segment_rows=512 (16 levels each)
+SRC = (
+    "(def (main a b)\n"
+    "  (loop :max 55 ((i 0) (x a) (y b))\n"
+    "    x\n"
+    "    (recur (+ i 1) y (+ x y))))\n"
+)
+
+OPTS = ProverOptions(queries=4, blowup=8, grind=0, min_security_bits=0,
+                     max_segment_rows=512)
+
+
+@pytest.fixture(scope="module")
+def program_pi():
+    prog = compile_entry(SRC, [1, 1])
+    pi = (PublicInputsBuilder(prog)
+          .with_main_args([VmArg.u64(1), VmArg.u64(1)])
+          .build())
+    return prog, pi
+
+
+@pytest.fixture(scope="module")
+def single_device_steps(program_pi):
+    prog, pi = program_pi
+    os.environ["ZKL_DEVICE"] = "jax"
+    try:
+        return prover.prove_program(prog, pi, OPTS)
+    finally:
+        del os.environ["ZKL_DEVICE"]
+
+
+def test_mesh_steps_byte_identical(program_pi, single_device_steps):
+    from zklisp_tpu.parallel.mesh_prover import (default_mesh,
+                                                 prove_program_mesh)
+    prog, pi = program_pi
+    mesh = default_mesh(8)
+    steps = prove_program_mesh(prog, pi, OPTS, mesh=mesh)
+    assert len(steps) == len(single_device_steps) >= 4
+    for mesh_s, single_s in zip(steps, single_device_steps):
+        assert mesh_s.to_bytes() == single_s.to_bytes()
+
+
+def test_mesh_env_routes_prove_program(program_pi, single_device_steps):
+    prog, pi = program_pi
+    os.environ["ZKL_MESH"] = "1"
+    try:
+        steps = prover.prove_program(prog, pi, OPTS)
+    finally:
+        del os.environ["ZKL_MESH"]
+    assert [s.to_bytes() for s in steps] == \
+        [s.to_bytes() for s in single_device_steps]
+
+
+def test_mesh_steps_verify_and_aggregate(program_pi):
+    from zklisp_tpu.agg import aggregate as agg
+    from zklisp_tpu.parallel.mesh_prover import (default_mesh,
+                                                 prove_program_mesh)
+    prog, pi = program_pi
+    steps = prove_program_mesh(prog, pi, OPTS, mesh=default_mesh(8))
+    for s in steps:
+        prover.verify_step(s)
+    agg_pi = agg.build_agg_public(steps)
+    agg_pi.pi_digest = pi.digest()
+    proof, digest = agg.recursion_prove(steps, agg_pi, OPTS)
+    agg.verify_agg(proof, agg_pi)
+
+
+def test_sharded_lde_in_mesh_path(program_pi):
+    """Single-segment wave of a large-enough trace routes its LDE
+    through the four-step mesh NTT (ZKL_MESH_NTT_MIN override)."""
+    from zklisp_tpu.parallel.mesh_prover import (default_mesh,
+                                                 prove_program_mesh)
+    prog, pi = program_pi
+    one_seg = ProverOptions(queries=4, blowup=8, grind=0,
+                            min_security_bits=0)   # single 2048-row seg
+    os.environ["ZKL_MESH_NTT_MIN"] = "4096"        # N = 2048*8 = 16384
+    try:
+        steps = prove_program_mesh(prog, pi, one_seg,
+                                   mesh=default_mesh(8))
+    finally:
+        del os.environ["ZKL_MESH_NTT_MIN"]
+    assert len(steps) == 1
+    os.environ["ZKL_DEVICE"] = "jax"
+    try:
+        ref = prover.prove_program(prog, pi, one_seg)
+    finally:
+        del os.environ["ZKL_DEVICE"]
+    assert steps[0].to_bytes() == ref[0].to_bytes()

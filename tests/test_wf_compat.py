@@ -124,6 +124,7 @@ def test_env_flag_wires_through_prover_options(monkeypatch):
                          ).to_proof_options().per_assertion
 
 
+@pytest.mark.slow
 def test_device_prover_compat_byte_identical(bundle):
     """The jit-staged device prover honors per-assertion batching and
     stays byte-identical to the host prover in compat mode."""

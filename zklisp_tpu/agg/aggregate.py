@@ -815,6 +815,8 @@ def verify_child_transcript(step: StepProof) -> None:
     if len(inner.fri_openings) != len(inner.fri_roots):
         raise AggError("FRI layer count != FRI root count")
     for lo in inner.fri_openings:
+        if not lo.paths and lo.batch is not None:
+            continue   # compressed; expanded after FS replay
         if len(lo.paths) != len(lo.pairs):
             raise AggError("FRI layer paths/pairs mismatch")
 

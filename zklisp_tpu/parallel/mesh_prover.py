@@ -1,0 +1,514 @@
+"""Mesh-sharded multi-segment prover: prove_program over a device mesh.
+
+The reference's only parallelism is a bounded rayon pool over segments
+(prove.rs:1018-1051).  Here segments are the data-parallel axis of a
+`jax.sharding.Mesh`: segments with identical AIR structure are grouped
+into WAVES of up to n_devices, every prover stage runs as ONE jitted
+dispatch vmapped over the wave (leading segment axis, sharded
+NamedSharding(mesh, P("seg"))), and XLA partitions each stage across the
+mesh with no cross-segment communication inside a stage.  Per-segment
+Fiat-Shamir coins advance on host in lockstep between stages (roots are
+the only device->host traffic per stage).
+
+Byte-compatibility: every stage vmaps the SAME traced stage function the
+single-segment device prover uses (prove/stark_device.py), so the
+StepProofs are byte-identical to prove_program's output — asserted in
+tests/test_mesh_prover.py.
+
+Waves are grouped by AIR structure (trace width/length, usage masks,
+assertion-group structure): proofs depend on per-segment feature
+trimming and usage masks, and grouping — instead of forcing uniform
+masks — keeps the mesh path's proofs equal to the single-device path's.
+
+For single-segment waves of very large traces (N >= ZKL_MESH_NTT_MIN,
+default 2^20), the trace LDE instead runs through the four-step mesh NTT
+(parallel/ntt_mesh.lde_columns_sharded) so one segment's LDE is split
+across chips.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Tuple
+
+import numpy as _np
+
+from ..air.airpi import build_air_pi_for_trace, segment_boundaries_from_full
+from ..air.zk_air import ZkLispAir
+from ..compiler.builder import Program
+from ..core import pi as pi_mod
+from ..crypto import poseidon as pos
+from ..field import f128, limb, ntt
+from ..prove import cvm, multiproof, planner
+from ..prove import stark_device as sd
+from ..prove.coin import RandomCoin
+from ..prove.formats import StepMeta, StepProof, Zl1Proof
+from ..prove.params import (ProofOptions, ProverOptions,
+                            select_partitions_for_trace)
+from ..prove.stark import (FriLayerOpenings, ProofContext, QueryOpenings,
+                           StarkProof, group_assertions)
+from ..trace import build as tb
+
+P = f128.P
+
+_WAVE_CACHE: dict = {}
+
+
+def _cached(key, builder):
+    if key not in _WAVE_CACHE:
+        _WAVE_CACHE[key] = builder()
+    return _WAVE_CACHE[key]
+
+
+def default_mesh(n_devices: Optional[int] = None):
+    import jax
+    from jax.sharding import Mesh
+    devs = jax.devices()
+    if n_devices:
+        devs = devs[:n_devices]
+    return Mesh(_np.array(devs), axis_names=("seg",))
+
+
+# ---------------------------------------------------------------------------
+# per-segment host prep
+# ---------------------------------------------------------------------------
+
+class _SegPrep:
+    """Everything prove_segment derives on host before device work."""
+
+    def __init__(self, index: int, n_seg: int, seg, full_trace,
+                 program: Program, pub_inputs: pi_mod.PublicInputs,
+                 base_opts: ProofOptions, min_bits: int,
+                 suite_id: bytes, rom_acc) -> None:
+        from ..prove import prover as pv
+        self.index = index
+        eff_mask, seg_layout = pv._segment_layout(program, pub_inputs, seg)
+        trace, state_in, state_out = tb.build_segment_trace_with_state(
+            full_trace, seg, seg_layout, None)
+        boundaries = segment_boundaries_from_full(full_trace, seg)
+        nparts, rate = select_partitions_for_trace(trace.width,
+                                                   trace.length)
+        self.opts = base_opts.with_partitions(nparts, rate)
+        self.air_pi = build_air_pi_for_trace(
+            pub_inputs, eff_mask, rom_acc, seg_layout.cols, boundaries,
+            trace)
+        self.air = ZkLispAir(trace.width, trace.length, self.air_pi)
+        self.groups = group_assertions(self.air.get_assertions(),
+                                       trace.length,
+                                       self.opts.per_assertion)
+        self.limbs16 = trace.to_limbs16()
+        self.meta = StepMeta.from_env(trace.length, self.opts, min_bits,
+                                      len(self.air_pi.to_elements()))
+        self.boundary = pv._boundary_dict(boundaries, state_in, state_out)
+        self.n = trace.length
+        self.w = trace.width
+        self.suite_id = suite_id
+        self.rom_acc = rom_acc
+        self.pub_inputs = pub_inputs
+        self.n_seg = n_seg
+
+    def structure_key(self) -> tuple:
+        """Segments sharing this key share every stage executable AND
+        produce draws/constraints with identical structure."""
+        import dataclasses
+        return (self.w, self.n, self.opts,
+                self.air_pi.vm_usage_mask, self.air_pi.ram_delta_clk_bits,
+                dataclasses.astuple(self.air.features),
+                self.air.rom_enabled,
+                self.air.num_transition_constraints(),
+                tuple((g.column, g.offsets, g.step) for g in self.groups))
+
+
+# ---------------------------------------------------------------------------
+# the wave prover
+# ---------------------------------------------------------------------------
+
+def _prove_wave(preps: List[_SegPrep], mesh) -> List[StarkProof]:
+    """Prove S structurally-identical segments as one vmapped wave."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as Pt
+
+    S_real = len(preps)
+    # pad the wave to the mesh width: sharding needs the segment axis
+    # divisible by the mesh, and padding keeps ONE executable shape per
+    # structure group (pad slots repeat the last segment; their device
+    # work is discarded — host assembly below only walks real segments)
+    W = max(mesh.size, 1) if mesh is not None else 1
+    preps = list(preps) + [preps[-1]] * (W - S_real if S_real < W else 0)
+    S = len(preps)
+    p0 = preps[0]
+    n, w, opts = p0.n, p0.w, p0.opts
+    blowup = opts.blowup
+    N = n * blowup
+    Q = p0.air.ce_blowup()
+    skey = p0.structure_key()
+    shard = (NamedSharding(mesh, Pt("seg"))
+             if mesh is not None and mesh.size > 1 and S % mesh.size == 0
+             else None)
+
+    def put(arr):
+        a = jnp.asarray(arr)
+        return jax.device_put(a, shard) if shard is not None else a
+
+    # stage 1: LDE (per-segment columns batched over the wave; huge
+    # single-segment waves go through the mesh-sharded four-step NTT)
+    cols16 = put(_np.stack([p.limbs16 for p in preps]))
+    ntt_min = int(os.environ.get("ZKL_MESH_NTT_MIN", str(1 << 20)))
+    if (S == 1 and mesh is not None and mesh.size > 1 and N >= ntt_min):
+        from .ntt_mesh import lde_columns_sharded
+        polys1 = _cached(("polys", n, w), lambda: jax.jit(jax.vmap(
+            lambda c: jax.vmap(lambda col: ntt.intt(
+                col.astype(jnp.uint32), jnp))(c))))(cols16)
+        trace_lde = lde_columns_sharded(polys1[0], blowup, mesh)[None]
+        trace_polys = polys1
+    else:
+        lde_fn = _cached(("lde", n, blowup, S),
+                         lambda: jax.jit(jax.vmap(
+                             sd._lde_polys_fn(n, blowup))))
+        trace_polys, trace_lde = lde_fn(cols16)
+
+    # stage 2: trace commitment
+    ps_main = opts.partition_size(w)
+    chunk = min(sd.ROW_CHUNK, N)
+    commit_fn = _cached(("commit", w, N, chunk, ps_main, S),
+                        lambda: jax.jit(jax.vmap(
+                            sd._commit_cols_fn(w, N, chunk, ps_main))))
+    t_levels = commit_fn(trace_lde)
+    t_roots = [int(v) for v in limb.to_ints(
+        _np.asarray(t_levels[-1]).reshape(S, limb.NLIMB))]
+
+    # FS coins per segment (host, lockstep)
+    coins, alphas_l, betas_l = [], [], []
+    for i, p in enumerate(preps):
+        ctx = ProofContext(w, n, opts)
+        coin = RandomCoin(ctx.to_elements() + p.air_pi.to_elements())
+        coin.reseed(f128.fe_to_bytes_fold(t_roots[i]))
+        alphas_l.append(coin.draw_many(
+            p.air.num_transition_constraints()))
+        betas_l.append(coin.draw_many(len(p.groups)))
+        coins.append(coin)
+
+    # config-constant host tables + constraint bytecode (shared: the
+    # structure key guarantees identical layout/groups)
+    (per_p, p_last, zinv, cyc_pos, cyc_divp, sgl_pos, sgl_div,
+     dperiod) = sd._host_tables(p0.air, p0.groups, blowup)
+    gates_p = jnp.asarray(per_p[1:1 + 27])
+    p_last_dev = jnp.asarray(p_last)
+    alphas_dev = put(_np.stack([limb.from_ints(a) for a in alphas_l]))
+    prog_cvm, specs = sd._record_cvm(p0.air, per_p.shape[0] + 1)
+
+    # stage 3: composition
+    acc = None
+    if specs:
+        scan_fn = _cached(
+            ("scan", skey, S),
+            lambda: jax.jit(jax.vmap(
+                sd._scan_blocks_fn(p0.air, specs, blowup),
+                in_axes=(0, None, 0))))
+        acc = scan_fn(trace_lde, gates_p, alphas_dev)
+    if prog_cvm.n_instr:
+        cvm_fn = _cached(
+            ("cvm", skey, S),
+            lambda: jax.jit(jax.vmap(
+                lambda lde, al: cvm.execute(prog_cvm, lde,
+                                            jnp.asarray(per_p),
+                                            p_last_dev, al, blowup),
+                in_axes=(0, 0))))
+        gen = cvm_fn(trace_lde, alphas_dev)
+        acc = gen if acc is None else _cached(
+            ("addS", skey, S),
+            lambda: jax.jit(lambda a, b: limb.add(a, b, jnp)))(acc, gen)
+
+    # boundary + quotient (group values/betas differ per segment)
+    cyc = [p0.groups[i] for i in cyc_pos]
+    sgl = [p0.groups[i] for i in sgl_pos]
+    ngc, ngs = sd._bucket(len(cyc)), (sd._bucket(len(sgl)) if sgl else 0)
+
+    def pad_vals_wave(get_ints, nb):
+        out = _np.zeros((S, nb, limb.NLIMB), dtype=_np.uint32)
+        for si, p in enumerate(preps):
+            ints = get_ints(si, p)
+            if ints:
+                out[si, :len(ints)] = limb.from_ints(ints)
+        return put(out)
+
+    cyc_idx = _np.zeros(ngc, dtype=_np.int32)
+    cyc_idx[:len(cyc)] = [g.column for g in cyc]
+    cyc_divp_a = _np.zeros((ngc, dperiod, limb.NLIMB), dtype=_np.uint32)
+    if cyc:
+        cyc_divp_a[:len(cyc)] = cyc_divp
+    sgl_idx = _np.zeros(max(ngs, 1), dtype=_np.int32)
+    sgl_div_a = _np.zeros((max(ngs, 1), N, limb.NLIMB), dtype=_np.uint32)
+    if sgl:
+        sgl_idx[:len(sgl)] = [g.column for g in sgl]
+        sgl_div_a[:len(sgl)] = sgl_div
+
+    quot_fn = _cached(
+        ("quot", n, blowup, Q, ngc, ngs, dperiod, S),
+        lambda: jax.jit(jax.vmap(
+            sd._quotient_fn(n, blowup, Q, ngc, ngs, dperiod),
+            in_axes=(0, 0, None, 0, None, 0, None, 0, None, 0, None))))
+    q_polys, q_lde = quot_fn(
+        acc, trace_lde,
+        jnp.asarray(cyc_idx),
+        pad_vals_wave(lambda si, p: [p.groups[i].value for i in cyc_pos],
+                      ngc),
+        jnp.asarray(cyc_divp_a),
+        pad_vals_wave(lambda si, p: [betas_l[si][i] for i in cyc_pos],
+                      ngc),
+        jnp.asarray(sgl_idx),
+        pad_vals_wave(lambda si, p: [p.groups[i].value for i in sgl_pos],
+                      max(ngs, 1)),
+        jnp.asarray(sgl_div_a),
+        pad_vals_wave(lambda si, p: [betas_l[si][i] for i in sgl_pos],
+                      max(ngs, 1)),
+        jnp.asarray(zinv))
+
+    ps_con = opts.partition_size(Q)
+    ccommit_fn = _cached(("commit", Q, N, chunk, ps_con, S),
+                         lambda: jax.jit(jax.vmap(
+                             sd._commit_cols_fn(Q, N, chunk, ps_con))))
+    c_levels = ccommit_fn(q_lde)
+    c_roots = [int(v) for v in limb.to_ints(
+        _np.asarray(c_levels[-1]).reshape(S, limb.NLIMB))]
+    for i, coin in enumerate(coins):
+        coin.reseed(f128.fe_to_bytes_fold(c_roots[i]))
+
+    # stage 4: OOD
+    zs = [coin.draw() for coin in coins]
+    g_trace = f128.get_root_of_unity(n)
+    zgs = [f128.mul(z, g_trace) for z in zs]
+
+    def zpows_host(zz):
+        out, cur = [], 1
+        for _ in range(n):
+            out.append(cur)
+            cur = f128.mul(cur, zz)
+        return limb.from_ints(out)
+
+    zp = put(_np.stack([zpows_host(z) for z in zs]))
+    zgp = put(_np.stack([zpows_host(zg) for zg in zgs]))
+    ood_t_fn = _cached(("ood", w, n, S),
+                       lambda: jax.jit(jax.vmap(sd._ood_fn(w, n))))
+    ood_q_fn = _cached(("ood", Q, n, S),
+                       lambda: jax.jit(jax.vmap(sd._ood_fn(Q, n))))
+    ood_t_cur = _np.asarray(ood_t_fn(trace_polys, zp))
+    ood_t_next = _np.asarray(ood_t_fn(trace_polys, zgp))
+    ood_q_cur = _np.asarray(ood_q_fn(q_polys, zp))
+    ood_q_next = _np.asarray(ood_q_fn(q_polys, zgp))
+
+    ood = []
+    for i, coin in enumerate(coins):
+        tc = [int(v) for v in limb.to_ints(ood_t_cur[i])]
+        tn = [int(v) for v in limb.to_ints(ood_t_next[i])]
+        qc = [int(v) for v in limb.to_ints(ood_q_cur[i])]
+        qn = [int(v) for v in limb.to_ints(ood_q_next[i])]
+        coin.reseed(pos.hash_elements(tc + qc + tn + qn))
+        ood.append((tc, tn, qc, qn))
+
+    # stage 5: DEEP (chunked VPU path batched over the wave)
+    gz_l, gzg_l, coeffs_l = [], [], []
+    for i, coin in enumerate(coins):
+        tc, tn, qc, qn = ood[i]
+        gammas = coin.draw_many(w)
+        deltas = coin.draw_many(Q)
+        gz = (sum(g_ * t for g_, t in zip(gammas, tc))
+              + sum(d * q for d, q in zip(deltas, qc))) % P
+        gzg = (sum(g_ * t for g_, t in zip(gammas, tn))
+               + sum(d * q for d, q in zip(deltas, qn))) % P
+        gz_l.append(gz)
+        gzg_l.append(gzg)
+        coeffs_l.append(gammas + deltas)
+
+    inv_fn = _cached(("dinv", N, S),
+                     lambda: jax.jit(jax.vmap(sd._deep_inv_fn(N),
+                                              in_axes=(None, 0, 0))))
+    inv_xz, inv_xzg = inv_fn(
+        sd._lde_xs_dev(n, blowup),
+        put(_np.asarray(limb.from_ints(zs))),
+        put(_np.asarray(limb.from_ints(zgs))))
+    coeffs_dev = put(_np.stack([limb.from_ints(c) for c in coeffs_l]))
+    gz_dev = put(_np.asarray(limb.from_ints(gz_l)))
+    gzg_dev = put(_np.asarray(limb.from_ints(gzg_l)))
+
+    dfn = _cached(("deep", w, Q, chunk, S),
+                  lambda: jax.jit(jax.vmap(sd._deep_chunk_fn(w, Q, chunk))))
+    deep_parts = [
+        dfn(trace_lde[:, :, s:s + chunk], q_lde[:, :, s:s + chunk],
+            coeffs_dev, gz_dev, gzg_dev,
+            inv_xz[:, s:s + chunk], inv_xzg[:, s:s + chunk])
+        for s in range(0, N, chunk)]
+    deep = (deep_parts[0] if len(deep_parts) == 1
+            else jnp.concatenate(deep_parts, axis=1))
+
+    # stage 6: FRI (fused chain with on-device per-segment FS coins)
+    num_layers = opts.num_fri_layers(N)
+    fri_comms_w: List[List[sd._DevCommitment]] = [[] for _ in range(S)]
+    fri_layers_w: List[List] = [[] for _ in range(S)]
+    if num_layers:
+        tabs = [sd._x0_tables(N >> d) for d in range(num_layers)]
+        seeds = put(_np.asarray(limb.from_ints(
+            [f128.fold_bytes32_to_fe(c.seed) for c in coins])))
+        fri_fn = _cached(
+            ("fri", N, num_layers, S),
+            lambda: jax.jit(jax.vmap(sd._fri_chain_fn(N, num_layers),
+                                     in_axes=(0, 0, None, None))))
+        layers, levels_all, roots_dev, final_layer = fri_fn(
+            deep, seeds,
+            tuple(jnp.asarray(t[0]) for t in tabs),
+            tuple(jnp.asarray(t[1]) for t in tabs))
+        roots_h = _np.asarray(roots_dev)                   # (S, L, 8)
+        for i, coin in enumerate(coins):
+            for d in range(num_layers):
+                root_fe = int(limb.to_ints(roots_h[i, d:d + 1])[0])
+                comm = sd._DevCommitment(
+                    tuple(lv[i] for lv in levels_all[d]), root_fe=root_fe)
+                fri_comms_w[i].append(comm)
+                fri_layers_w[i].append(layers[d][i])
+                coin.reseed(comm.root)
+    else:
+        final_layer = deep
+
+    rem_host = _np.asarray(final_layer)
+    proofs: List[StarkProof] = []
+    for i, p in enumerate(preps[:S_real]):
+        coin = coins[i]
+        rem_coeffs = ntt.coset_interpolate(rem_host[i], 1, _np)
+        rem_ints = [int(v) for v in limb.to_ints(rem_coeffs)]
+        max_deg = opts.fri_remainder_max_degree
+        assert all(v == 0 for v in rem_ints[max_deg + 1:]), \
+            "FRI remainder degree too high"
+        fri_remainder = list(reversed(rem_ints[:max_deg + 1]))
+
+        pow_nonce = coin.grind(opts.grinding_factor)
+        positions = sorted(set(coin.draw_integers(
+            opts.num_queries, N, pow_nonce)))
+
+        nq_pad = opts.num_queries
+        pos_pad = (list(positions)
+                   + [positions[-1]] * (nq_pad - len(positions)))
+        idx_dev = jnp.asarray(_np.asarray(pos_pad, dtype=_np.int32))
+        t_rows = _np.asarray(
+            sd._gather_rows_fn(w, nq_pad)(trace_lde[i], idx_dev))
+        q_rows = _np.asarray(
+            sd._gather_rows_fn(Q, nq_pad)(q_lde[i], idx_dev))
+
+        t_comm = sd._DevCommitment(tuple(lv[i] for lv in t_levels),
+                                   root_fe=t_roots[i])
+        c_comm = sd._DevCommitment(tuple(lv[i] for lv in c_levels),
+                                   root_fe=c_roots[i])
+        tc_paths = sd.open_paths_multi(
+            [t_comm, c_comm], [list(positions), list(positions)], nq_pad)
+        trace_open = QueryOpenings(
+            [[int(v) for v in limb.to_ints(t_rows[j])]
+             for j in range(len(positions))], tc_paths[0],
+            multiproof.compress(positions, tc_paths[0]))
+        constraint_open = QueryOpenings(
+            [[int(v) for v in limb.to_ints(q_rows[j])]
+             for j in range(len(positions))], tc_paths[1],
+            multiproof.compress(positions, tc_paths[1]))
+
+        foldeds = []
+        pos_d, size_d = positions, N
+        for d in range(num_layers):
+            half = size_d // 2
+            folded = []
+            for pp_ in pos_d:
+                m = pp_ % half
+                if m not in folded:
+                    folded.append(m)
+            foldeds.append((folded, half))
+            pos_d, size_d = folded, half
+        fri_open: List[FriLayerOpenings] = []
+        if num_layers:
+            idxs = []
+            for folded, half in foldeds:
+                fold_pad = folded + [folded[-1]] * (nq_pad - len(folded))
+                idxs.append(_np.asarray(
+                    fold_pad + [half + m for m in fold_pad],
+                    dtype=_np.int32))
+            vals_flat = limb.to_ints(_np.asarray(
+                sd._fri_vals_fn(tuple(v.shape[0]
+                                      for v in fri_layers_w[i]))(
+                    tuple(fri_layers_w[i]),
+                    jnp.asarray(_np.stack(idxs)))))
+            all_paths = sd.open_paths_multi(
+                fri_comms_w[i], [f for f, _ in foldeds], nq_pad)
+            for d, (folded, half) in enumerate(foldeds):
+                nf = len(folded)
+                base = d * 2 * nq_pad
+                pairs = [(int(vals_flat[base + j]),
+                          int(vals_flat[base + nq_pad + j]))
+                         for j in range(nf)]
+                fri_open.append(FriLayerOpenings(
+                    pairs, all_paths[d],
+                    multiproof.compress(folded, all_paths[d])))
+
+        tc, tn, qc, qn = ood[i]
+        proofs.append(StarkProof(
+            context=ProofContext(w, n, opts),
+            trace_root=f128.fe_to_bytes_fold(t_roots[i]),
+            constraint_root=f128.fe_to_bytes_fold(c_roots[i]),
+            ood_trace_current=tc, ood_trace_next=tn,
+            ood_quotient_current=qc, ood_quotient_next=qn,
+            fri_roots=[c.root for c in fri_comms_w[i]],
+            fri_remainder=fri_remainder,
+            pow_nonce=pow_nonce,
+            trace_openings=trace_open,
+            constraint_openings=constraint_open,
+            fri_openings=fri_open))
+    return proofs
+
+
+# ---------------------------------------------------------------------------
+# public entry
+# ---------------------------------------------------------------------------
+
+def prove_program_mesh(program: Program, pub_inputs: pi_mod.PublicInputs,
+                       opts: ProverOptions,
+                       mesh=None) -> List[StepProof]:
+    """prove_program with segments sharded across a device mesh.
+
+    Semantics of the parallel reference path (prove.rs:1018-1051):
+    segments proved independently (no prev_state chaining).  Requires
+    the full trace in memory (streamed traces stay on the single-device
+    path)."""
+    from ..utils import jitcache
+    jitcache.enable()
+    if mesh is None:
+        mesh = default_mesh()
+    base_opts = opts.to_proof_options()
+    segments = planner.plan_segments(program, pub_inputs, opts)
+    full_trace = tb.build_trace(program, pub_inputs)
+    suite_id = pub_inputs.program_id
+    rom_acc = (tb.rom_acc_from_program(program)
+               if any(pub_inputs.program_id) else (0, 0, 0))
+
+    n_seg = len(segments)
+    preps = [_SegPrep(i, n_seg, seg, full_trace, program, pub_inputs,
+                      base_opts, opts.min_security_bits, suite_id, rom_acc)
+             for i, seg in enumerate(segments)]
+
+    # group structurally-identical segments into waves of <= mesh size
+    waves: List[List[_SegPrep]] = []
+    by_key: dict = {}
+    for p in preps:
+        by_key.setdefault(p.structure_key(), []).append(p)
+    W = max(mesh.size, 1)
+    for key in by_key:
+        grp = by_key[key]
+        for s in range(0, len(grp), W):
+            waves.append(grp[s:s + W])
+
+    steps: List[Optional[StepProof]] = [None] * n_seg
+    for wave in waves:
+        inner_proofs = _prove_wave(wave, mesh)
+        for p, inner in zip(wave, inner_proofs):
+            zl1 = Zl1Proof.new_multi_segment(
+                suite_id, p.meta, pub_inputs, p.index, n_seg,
+                p.boundary, inner)
+            steps[p.index] = StepProof(zl1, pub_inputs, rom_acc,
+                                       p.air_pi.vm_usage_mask,
+                                       p.air_pi.ram_delta_clk_bits)
+    return steps

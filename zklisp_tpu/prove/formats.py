@@ -17,6 +17,7 @@ from ..core import pi as pi_mod
 from ..crypto import poseidon as pos
 from ..crypto.blake3 import blake3
 from ..field import f128
+from .multiproof import MultiProof
 from .params import ProofOptions
 from .stark import (FriLayerOpenings, ProofContext, QueryOpenings,
                     StarkProof)
@@ -318,29 +319,44 @@ def _r_fes(r: _Reader, wide: bool = False) -> List[int]:
     return [r.fe(wide) for _ in range(n)]
 
 
+def _w_batch(out: bytearray, mp: MultiProof) -> None:
+    """Compressed multiproof: depth, then per-level node counts +
+    digests (canonical ascending-frontier order, prove/multiproof.py)."""
+    out += struct.pack("<B", mp.depth)
+    for level in mp.nodes:
+        out += struct.pack("<H", len(level))
+        for d in level:
+            out += d
+
+
+def _r_batch(r: _Reader) -> MultiProof:
+    depth = r.u8()
+    nodes = []
+    for _ in range(depth):
+        cnt = r.u16()
+        nodes.append([r.take(32) for _ in range(cnt)])
+    return MultiProof(depth, nodes)
+
+
 def _w_openings(out: bytearray, q: QueryOpenings,
                 wide: bool = False) -> None:
     out += struct.pack("<I", len(q.rows))
     if q.rows:
         out += struct.pack("<I", len(q.rows[0]))
-        out += struct.pack("<I", len(q.paths[0]))
     else:
-        out += struct.pack("<II", 0, 0)
+        out += struct.pack("<I", 0)
     for row in q.rows:
         for v in row:
             _w_fe(out, v, wide)
-    for path in q.paths:
-        for d in path:
-            out += d
+    _w_batch(out, q.batch if q.batch is not None else MultiProof(0, []))
 
 
 def _r_openings(r: _Reader, wide: bool = False) -> QueryOpenings:
     n = r.u32()
     width = r.u32()
-    depth = r.u32()
     rows = [[r.fe(wide) for _ in range(width)] for _ in range(n)]
-    paths = [[r.take(32) for _ in range(depth)] for _ in range(n)]
-    return QueryOpenings(rows, paths)
+    # paths are reconstructed after FS replay (expand_proof_openings)
+    return QueryOpenings(rows, [], _r_batch(r))
 
 
 def serialize_stark_proof(p: StarkProof) -> bytes:
@@ -372,16 +388,11 @@ def serialize_stark_proof(p: StarkProof) -> bytes:
     out += struct.pack("<I", len(p.fri_openings))
     for layer in p.fri_openings:
         out += struct.pack("<I", len(layer.pairs))
-        if layer.pairs:
-            out += struct.pack("<I", len(layer.paths[0]))
-        else:
-            out += struct.pack("<I", 0)
         for (v0, v1) in layer.pairs:
             _w_fe(out, v0, wide)
             _w_fe(out, v1, wide)
-        for path in layer.paths:
-            for d in path:
-                out += d
+        _w_batch(out, layer.batch if layer.batch is not None
+                 else MultiProof(0, []))
     return bytes(out)
 
 
@@ -415,10 +426,8 @@ def deserialize_stark_proof(data: bytes) -> StarkProof:
     fri_open = []
     for _ in range(n_layers):
         n = r.u32()
-        depth = r.u32()
         pairs = [(r.fe(wide), r.fe(wide)) for _ in range(n)]
-        paths = [[r.take(32) for _ in range(depth)] for _ in range(n)]
-        fri_open.append(FriLayerOpenings(pairs, paths))
+        fri_open.append(FriLayerOpenings(pairs, [], _r_batch(r)))
     return StarkProof(
         context=ctx, trace_root=trace_root,
         constraint_root=constraint_root,

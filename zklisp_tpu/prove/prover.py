@@ -62,6 +62,15 @@ def _device_mode() -> bool:
 
 def prove_program(program: Program, pub_inputs: pi_mod.PublicInputs,
                   opts: ProverOptions) -> List[StepProof]:
+    # ZKL_MESH=1: shard segments across all visible devices (waves of
+    # structurally-identical segments, every stage one vmapped dispatch
+    # — parallel/mesh_prover.py).  Proofs byte-identical to this path.
+    mesh_env = os.environ.get("ZKL_MESH", "")
+    if mesh_env not in ("", "0"):
+        import jax
+        if len(jax.devices()) > 1:
+            from ..parallel.mesh_prover import prove_program_mesh
+            return prove_program_mesh(program, pub_inputs, opts)
     base_opts = opts.to_proof_options()
     segments = planner.plan_segments(program, pub_inputs, opts)
     if not segments:

@@ -41,6 +41,7 @@ from ..crypto import poseidon as pos
 from ..field import f128, limb, ntt
 from ..field.felt import Felt, FVec
 from .coin import RandomCoin
+from . import multiproof
 from .commit import (MerkleCommitment, commit_rows, hash_row_host,
                      verify_opening)
 from .params import ProofOptions
@@ -79,12 +80,17 @@ class ProofContext:
 class QueryOpenings:
     rows: List[List[int]]               # opened rows (field values)
     paths: List[List[bytes]]            # per-row sibling paths
+    # compressed form (winterfell BatchMerkleProof analog): only `batch`
+    # travels on the wire; `paths` is reconstructed from it once the
+    # FS-derived query positions are known (expand_proof_openings)
+    batch: "multiproof.MultiProof" = None
 
 
 @dataclass
 class FriLayerOpenings:
     pairs: List[Tuple[int, int]]        # (v0, v1) per folded position
     paths: List[List[bytes]]
+    batch: "multiproof.MultiProof" = None
 
 
 @dataclass
@@ -463,7 +469,8 @@ def prove_trace(trace, air: ZkLispAir, air_pi: AirPublicInputs,
             row = [int(v) for v in limb.to_ints(mat_rows[p_])]
             out_rows.append(row)
             out_paths.append(comm.open(p_))
-        return QueryOpenings(out_rows, out_paths)
+        return QueryOpenings(out_rows, out_paths,
+                             multiproof.compress(idxs, out_paths))
 
     trace_open = open_rows(trace_comm, rows_host, positions)
     constraint_open = open_rows(constraint_comm, _np.asarray(q_rows),
@@ -486,7 +493,8 @@ def prove_trace(trace, air: ZkLispAir, air_pi: AirPublicInputs,
             v1 = int(limb.to_ints(layer_host[half + m:half + m + 1])[0])
             pairs.append((v0, v1))
             paths.append(fri_comms[d].open(m))
-        fri_open.append(FriLayerOpenings(pairs, paths))
+        fri_open.append(FriLayerOpenings(
+            pairs, paths, multiproof.compress(folded, paths)))
         pos_d = folded
         size_d = half
 
@@ -510,6 +518,69 @@ def prove_trace(trace, air: ZkLispAir, air_pi: AirPublicInputs,
 # ---------------------------------------------------------------------------
 # verifier
 # ---------------------------------------------------------------------------
+
+def expand_proof_openings(proof: StarkProof,
+                          positions: Sequence[int]) -> None:
+    """Reconstruct per-position sibling paths from the compressed batch
+    multiproofs (winterfell's decompression step, agg/child.rs:162-520:
+    it needs the FS-derived query positions, so it runs after transcript
+    replay).  Idempotent; no-op for proofs built in-process (paths are
+    kept alongside the batch at prove time)."""
+    if not positions or proof.trace_openings is None:
+        return
+    opts = proof.context.options
+    wide = opts.field_extension == 2
+    w = proof.context.trace_width
+    Q = len(proof.ood_quotient_current)
+
+    def _expand_rows(op: QueryOpenings, leaf_fn) -> None:
+        if op is None or op.batch is None or op.paths:
+            return
+        leaves = [leaf_fn(row) for row in op.rows]
+        try:
+            op.paths, _ = multiproof.expand(op.batch, positions, leaves)
+        except ValueError as e:
+            raise VerifyError(f"invalid opening multiproof: {e}")
+
+    ps_main = opts.partition_size(w)
+    _expand_rows(proof.trace_openings,
+                 lambda row: hash_row_host([v % P for v in row], ps_main))
+    if wide:
+        from .stark_ext import _ext_row_leaf
+        ps_con = opts.partition_size(2 * Q)
+        _expand_rows(proof.constraint_openings,
+                     lambda row: _ext_row_leaf(row, ps_con))
+    else:
+        ps_con = opts.partition_size(Q)
+        _expand_rows(proof.constraint_openings,
+                     lambda row: hash_row_host(row, ps_con))
+
+    size_d = proof.context.trace_len * opts.blowup
+    pos_d = list(positions)
+    for layer in proof.fri_openings:
+        half = size_d // 2
+        folded = []
+        for p_ in pos_d:
+            m = p_ % half
+            if m not in folded:
+                folded.append(m)
+        if layer.batch is not None and not layer.paths:
+            if wide:
+                from ..field import f128q
+                from .stark_ext import _fri_leaf
+                leaves = [_fri_leaf(f128q.unpack(v0), f128q.unpack(v1))
+                          for (v0, v1) in layer.pairs]
+            else:
+                leaves = [pos.hash_elements([v0, v1])
+                          for (v0, v1) in layer.pairs]
+            try:
+                layer.paths, _ = multiproof.expand(layer.batch, folded,
+                                                   leaves)
+            except ValueError as e:
+                raise VerifyError(f"invalid FRI multiproof: {e}")
+        pos_d = folded
+        size_d = half
+
 
 def replay_challenges(proof: StarkProof, air, air_pi) -> dict:
     """Replay the Fiat-Shamir transcript (fs.rs order) from a proof.
@@ -544,6 +615,7 @@ def replay_challenges(proof: StarkProof, air, air_pi) -> dict:
               >= options.grinding_factor)
     positions = sorted(set(coin.draw_integers(
         options.num_queries, N, proof.pow_nonce)))
+    expand_proof_openings(proof, positions)
     return dict(alphas=alphas, betas=betas, groups=groups, z=z,
                 gammas=gammas, deltas=deltas, fri_alphas=fri_alphas,
                 pow_ok=pow_ok, positions=positions)

@@ -898,15 +898,18 @@ def prove_trace_device(trace, air: ZkLispAir, air_pi,
     q_rows = _np.asarray(_gather_rows_fn(Q, nq_pad)(q_lde, idx_dev))
 
     with phase("openings", nq=len(positions)):
+        from . import multiproof
         tc_paths = open_paths_multi(
             [trace_comm, constraint_comm],
             [list(positions), list(positions)], nq_pad)
         trace_open = QueryOpenings(
             [[int(v) for v in limb.to_ints(t_rows[j])]
-             for j in range(len(positions))], tc_paths[0])
+             for j in range(len(positions))], tc_paths[0],
+            multiproof.compress(positions, tc_paths[0]))
         constraint_open = QueryOpenings(
             [[int(v) for v in limb.to_ints(q_rows[j])]
-             for j in range(len(positions))], tc_paths[1])
+             for j in range(len(positions))], tc_paths[1],
+            multiproof.compress(positions, tc_paths[1]))
 
     with phase("fri_openings"):
         # fold the query positions through all layers on host first, so
@@ -943,7 +946,9 @@ def prove_trace_device(trace, air: ZkLispAir, air_pi,
             pairs = [(int(vals_flat[base + i]),
                       int(vals_flat[base + nq_pad + i]))
                      for i in range(nf)]
-            fri_open.append(FriLayerOpenings(pairs, all_paths[d]))
+            fri_open.append(FriLayerOpenings(
+                pairs, all_paths[d],
+                multiproof.compress(folded, all_paths[d])))
 
     return StarkProof(
         context=context,

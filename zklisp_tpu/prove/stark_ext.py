@@ -386,13 +386,16 @@ def prove_trace_ext(trace, air, air_pi, options: ProofOptions) -> StarkProof:
     rows_host = _np.asarray(rows)
     q_rows_host = _np.asarray(q_rows)
 
+    from . import multiproof
+
     def open_trace(idxs) -> QueryOpenings:
         out_rows, out_paths = [], []
         for p_ in idxs:
             row = [int(v) for v in limb.to_ints(rows_host[p_])]
             out_rows.append(row)
             out_paths.append(trace_comm.open(p_))
-        return QueryOpenings(out_rows, out_paths)
+        return QueryOpenings(out_rows, out_paths,
+                             multiproof.compress(idxs, out_paths))
 
     def open_constraint(idxs) -> QueryOpenings:
         out_rows, out_paths = [], []
@@ -402,7 +405,8 @@ def prove_trace_ext(trace, air, air_pi, options: ProofOptions) -> StarkProof:
                       for j in range(Q)]
             out_rows.append(packed)
             out_paths.append(constraint_comm.open(p_))
-        return QueryOpenings(out_rows, out_paths)
+        return QueryOpenings(out_rows, out_paths,
+                             multiproof.compress(idxs, out_paths))
 
     trace_open = open_trace(positions)
     constraint_open = open_constraint(positions)
@@ -422,7 +426,8 @@ def prove_trace_ext(trace, air, air_pi, options: ProofOptions) -> StarkProof:
         for m in folded_idx:
             pairs.append((f128q.pack(vals[m]), f128q.pack(vals[half + m])))
             paths.append(fri_comms[d].open(m))
-        fri_open.append(FriLayerOpenings(pairs, paths))
+        fri_open.append(FriLayerOpenings(
+            pairs, paths, multiproof.compress(folded_idx, paths)))
         pos_d = folded_idx
         size_d = half
 
@@ -476,6 +481,8 @@ def replay_challenges_ext(proof: StarkProof, air, air_pi) -> dict:
               >= options.grinding_factor)
     positions = sorted(set(coin.draw_integers(
         options.num_queries, N, proof.pow_nonce)))
+    from .stark import expand_proof_openings
+    expand_proof_openings(proof, positions)
     return dict(alphas=alphas, betas=betas, groups=groups, z=z,
                 gammas=gammas, deltas=deltas, fri_alphas=fri_alphas,
                 pow_ok=pow_ok, positions=positions)
