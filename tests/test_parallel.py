@@ -1,5 +1,6 @@
 """Multi-chip tests on the 8-virtual-device CPU mesh: distributed NTT
-and the sharded multi-segment proving dry run."""
+(single, batched, coset-LDE forms) and the sharded multi-segment
+proving dry run."""
 
 import random
 
@@ -19,10 +20,10 @@ def mesh8():
     return Mesh(np.array(devs[:8]), ("seg",))
 
 
-def test_sharded_ntt_matches_single_chip(mesh8):
+@pytest.mark.parametrize("n", [64, 4096])
+def test_sharded_ntt_matches_single_chip(mesh8, n):
     from zklisp_tpu.parallel.ntt_mesh import ntt_sharded
     rng = random.Random(20)
-    n = 64
     coeffs = [rng.randrange(f128.P) for _ in range(n)]
     x = limb.from_ints(coeffs)
     exp = list(limb.to_ints(ntt.ntt(x, np)))
@@ -30,6 +31,35 @@ def test_sharded_ntt_matches_single_chip(mesh8):
     assert got == exp
 
 
+def test_sharded_ntt_batch(mesh8):
+    from zklisp_tpu.parallel.ntt_mesh import ntt_sharded_batch
+    rng = random.Random(21)
+    B, n = 3, 512
+    xs = np.stack([limb.from_ints([rng.randrange(f128.P)
+                                   for _ in range(n)]) for _ in range(B)])
+    got = np.asarray(ntt_sharded_batch(xs, mesh8))
+    for b in range(B):
+        exp = list(limb.to_ints(ntt.ntt(xs[b], np)))
+        assert list(limb.to_ints(got[b])) == exp
+
+
+def test_sharded_coset_lde_matches_single_chip(mesh8):
+    """The prove_program mesh call site: coset LDE == ntt.coset_evaluate
+    per column, at the >=2^12 LDE size the round-1 review asked for."""
+    from zklisp_tpu.parallel.ntt_mesh import lde_columns_sharded
+    rng = random.Random(22)
+    C, n, blowup = 4, 1024, 8                       # N = 8192
+    polys = np.stack([limb.from_ints([rng.randrange(f128.P)
+                                      for _ in range(n)])
+                      for _ in range(C)])
+    got = np.asarray(lde_columns_sharded(polys, blowup, mesh8))
+    for c in range(C):
+        exp = list(limb.to_ints(np.asarray(
+            ntt.coset_evaluate(polys[c], blowup, np))))
+        assert list(limb.to_ints(got[c])) == exp
+
+
+@pytest.mark.slow
 def test_dryrun_multichip_executes():
     import __graft_entry__ as g
     g.dryrun_multichip(8)

@@ -129,6 +129,8 @@ def _prove_wave(preps: List[_SegPrep], mesh) -> List[StarkProof]:
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as Pt
 
+    from ..utils.tracing import phase
+
     S_real = len(preps)
     # pad the wave to the mesh width: sharding needs the segment axis
     # divisible by the mesh, and padding keeps ONE executable shape per
@@ -153,6 +155,7 @@ def _prove_wave(preps: List[_SegPrep], mesh) -> List[StarkProof]:
 
     # stage 1: LDE (per-segment columns batched over the wave; huge
     # single-segment waves go through the mesh-sharded four-step NTT)
+    ph = phase("wave_lde", S=S, n=n); ph.__enter__()
     cols16 = put(_np.stack([p.limbs16 for p in preps]))
     ntt_min = int(os.environ.get("ZKL_MESH_NTT_MIN", str(1 << 20)))
     if (S == 1 and mesh is not None and mesh.size > 1 and N >= ntt_min):
@@ -167,6 +170,7 @@ def _prove_wave(preps: List[_SegPrep], mesh) -> List[StarkProof]:
                          lambda: jax.jit(jax.vmap(
                              sd._lde_polys_fn(n, blowup))))
         trace_polys, trace_lde = lde_fn(cols16)
+    jax.block_until_ready(trace_lde); ph.__exit__(None, None, None)
 
     # stage 2: trace commitment
     ps_main = opts.partition_size(w)
@@ -174,7 +178,9 @@ def _prove_wave(preps: List[_SegPrep], mesh) -> List[StarkProof]:
     commit_fn = _cached(("commit", w, N, chunk, ps_main, S),
                         lambda: jax.jit(jax.vmap(
                             sd._commit_cols_fn(w, N, chunk, ps_main))))
-    t_levels = commit_fn(trace_lde)
+    with phase("wave_trace_commit", S=S):
+        t_levels = commit_fn(trace_lde)
+        jax.block_until_ready(t_levels[-1])
     t_roots = [int(v) for v in limb.to_ints(
         _np.asarray(t_levels[-1]).reshape(S, limb.NLIMB))]
 
@@ -199,6 +205,7 @@ def _prove_wave(preps: List[_SegPrep], mesh) -> List[StarkProof]:
     prog_cvm, specs = sd._record_cvm(p0.air, per_p.shape[0] + 1)
 
     # stage 3: composition
+    ph = phase("wave_composition", S=S); ph.__enter__()
     acc = None
     if specs:
         scan_fn = _cached(
@@ -219,6 +226,8 @@ def _prove_wave(preps: List[_SegPrep], mesh) -> List[StarkProof]:
         acc = gen if acc is None else _cached(
             ("addS", skey, S),
             lambda: jax.jit(lambda a, b: limb.add(a, b, jnp)))(acc, gen)
+
+    jax.block_until_ready(acc); ph.__exit__(None, None, None)
 
     # boundary + quotient (group values/betas differ per segment)
     cyc = [p0.groups[i] for i in cyc_pos]
@@ -249,6 +258,7 @@ def _prove_wave(preps: List[_SegPrep], mesh) -> List[StarkProof]:
         lambda: jax.jit(jax.vmap(
             sd._quotient_fn(n, blowup, Q, ngc, ngs, dperiod),
             in_axes=(0, 0, None, 0, None, 0, None, 0, None, 0, None))))
+    ph = phase("wave_quotient", S=S); ph.__enter__()
     q_polys, q_lde = quot_fn(
         acc, trace_lde,
         jnp.asarray(cyc_idx),
@@ -264,12 +274,15 @@ def _prove_wave(preps: List[_SegPrep], mesh) -> List[StarkProof]:
         pad_vals_wave(lambda si, p: [betas_l[si][i] for i in sgl_pos],
                       max(ngs, 1)),
         jnp.asarray(zinv))
+    jax.block_until_ready(q_lde); ph.__exit__(None, None, None)
 
     ps_con = opts.partition_size(Q)
     ccommit_fn = _cached(("commit", Q, N, chunk, ps_con, S),
                          lambda: jax.jit(jax.vmap(
                              sd._commit_cols_fn(Q, N, chunk, ps_con))))
-    c_levels = ccommit_fn(q_lde)
+    with phase("wave_constraint_commit", S=S):
+        c_levels = ccommit_fn(q_lde)
+        jax.block_until_ready(c_levels[-1])
     c_roots = [int(v) for v in limb.to_ints(
         _np.asarray(c_levels[-1]).reshape(S, limb.NLIMB))]
     for i, coin in enumerate(coins):
@@ -293,6 +306,7 @@ def _prove_wave(preps: List[_SegPrep], mesh) -> List[StarkProof]:
                        lambda: jax.jit(jax.vmap(sd._ood_fn(w, n))))
     ood_q_fn = _cached(("ood", Q, n, S),
                        lambda: jax.jit(jax.vmap(sd._ood_fn(Q, n))))
+    ph = phase("wave_ood", S=S); ph.__enter__()
     ood_t_cur = _np.asarray(ood_t_fn(trace_polys, zp))
     ood_t_next = _np.asarray(ood_t_fn(trace_polys, zgp))
     ood_q_cur = _np.asarray(ood_q_fn(q_polys, zp))
@@ -306,6 +320,8 @@ def _prove_wave(preps: List[_SegPrep], mesh) -> List[StarkProof]:
         qn = [int(v) for v in limb.to_ints(ood_q_next[i])]
         coin.reseed(pos.hash_elements(tc + qc + tn + qn))
         ood.append((tc, tn, qc, qn))
+
+    ph.__exit__(None, None, None)
 
     # stage 5: DEEP (chunked VPU path batched over the wave)
     gz_l, gzg_l, coeffs_l = [], [], []
@@ -341,6 +357,8 @@ def _prove_wave(preps: List[_SegPrep], mesh) -> List[StarkProof]:
         for s in range(0, N, chunk)]
     deep = (deep_parts[0] if len(deep_parts) == 1
             else jnp.concatenate(deep_parts, axis=1))
+    with phase("wave_deep_sync", S=S):
+        jax.block_until_ready(deep)
 
     # stage 6: FRI (fused chain with on-device per-segment FS coins)
     num_layers = opts.num_fri_layers(N)
@@ -354,11 +372,13 @@ def _prove_wave(preps: List[_SegPrep], mesh) -> List[StarkProof]:
             ("fri", N, num_layers, S),
             lambda: jax.jit(jax.vmap(sd._fri_chain_fn(N, num_layers),
                                      in_axes=(0, 0, None, None))))
+        ph = phase("wave_fri", S=S); ph.__enter__()
         layers, levels_all, roots_dev, final_layer = fri_fn(
             deep, seeds,
             tuple(jnp.asarray(t[0]) for t in tabs),
             tuple(jnp.asarray(t[1]) for t in tabs))
         roots_h = _np.asarray(roots_dev)                   # (S, L, 8)
+        ph.__exit__(None, None, None)
         for i, coin in enumerate(coins):
             for d in range(num_layers):
                 root_fe = int(limb.to_ints(roots_h[i, d:d + 1])[0])
@@ -371,6 +391,7 @@ def _prove_wave(preps: List[_SegPrep], mesh) -> List[StarkProof]:
         final_layer = deep
 
     rem_host = _np.asarray(final_layer)
+    ph = phase("wave_assembly", S=S); ph.__enter__()
     proofs: List[StarkProof] = []
     for i, p in enumerate(preps[:S_real]):
         coin = coins[i]
@@ -458,6 +479,7 @@ def _prove_wave(preps: List[_SegPrep], mesh) -> List[StarkProof]:
             trace_openings=trace_open,
             constraint_openings=constraint_open,
             fri_openings=fri_open))
+    ph.__exit__(None, None, None)
     return proofs
 
 

@@ -80,12 +80,14 @@ def _sharded_fn(B: int, N: int, C: int, axis_name: str, mesh_key):
             return limb.mul(col, tw_d, jnp)
 
         cols = jax.vmap(one)(local_A[0])                   # (B, R, 8)
-        # 3. transpose across the mesh: split k1 into C blocks
+        # 3. transpose across the mesh: split k1 into C blocks.
+        # all_to_all(tiled=False) REMOVES the split axis (size C) and
+        # inserts the source-device axis at concat_axis.
         blk = cols.reshape(B, C, R // C, limb.NLIMB)
-        out = jax.lax.all_to_all(blk[None], axis_name, split_axis=2,
+        out = jax.lax.all_to_all(blk, axis_name, split_axis=1,
                                  concat_axis=0, tiled=False)
-        # out: (C, B, 1, R//C, 8): [src_d, b, 0, i] = per-source block
-        rows = jnp.transpose(out[:, :, 0], (1, 2, 0, 3))   # (B, R//C, C, 8)
+        # out: (C, B, R//C, 8): [src_d, b, i] = per-source block
+        rows = jnp.transpose(out, (1, 2, 0, 3))            # (B, R//C, C, 8)
         # 4. local outer NTT of size C over the gathered device axis
         if C > 1:
             rows = jax.vmap(jax.vmap(
