@@ -640,11 +640,30 @@ def build_agg_trace(agg_pi: AggAirPublicInputs,
     import os as _os
     from concurrent.futures import ThreadPoolExecutor
     workers = min(8, (_os.cpu_count() or 1), n_children)
-    if workers > 1:
-        with ThreadPoolExecutor(max_workers=workers) as pool:
-            child_vals = list(pool.map(_child_work, steps))
+    if _os.environ.get("ZKL_NO_BATCH_AGG"):
+        if workers > 1:
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                child_vals = list(pool.map(_child_work, steps))
+        else:
+            child_vals = [_child_work(s) for s in steps]
     else:
-        child_vals = [_child_work(s) for s in steps]
+        # batched path: FS replay per child (threaded), then all
+        # same-shaped children's Merkle/DEEP/FRI re-verification math in
+        # a handful of vectorized limb calls (agg/child_batch.py — the
+        # device path when ZKL_DEVICE=jax)
+        from .child_batch import child_work_batch, group_children
+        if workers > 1:
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                chs = list(pool.map(_child_challenges, steps))
+        else:
+            chs = [_child_challenges(s) for s in steps]
+        child_vals = [None] * n_children
+        for idxs in group_children(steps, chs):
+            vals = child_work_batch(
+                [steps[i] for i in idxs], [chs[i] for i in idxs],
+                beta_deep, beta_l1, delta_depth, beta_paths)
+            for i, v in zip(idxs, vals):
+                child_vals[i] = v
 
     prev = None
     v_acc = 0

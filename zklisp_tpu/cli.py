@@ -124,7 +124,8 @@ def _opts(args, security_bits: Optional[int]) -> ProverOptions:
                            if security_bits is not None
                            else base.min_security_bits),
         max_segment_rows=args.max_segment_rows,
-        max_concurrent_segments=args.max_concurrent_segments)
+        max_concurrent_segments=args.max_concurrent_segments,
+        winterfell_compat=getattr(args, "winterfell_compat", False))
 
 
 def cmd_run(args, json_out: bool, max_bytes: int, pf: str,
@@ -254,6 +255,10 @@ def main(argv: Optional[List[str]] = None) -> int:
         sp.add_argument("--grind", type=int, default=16)
         sp.add_argument("--max-segment-rows", type=int, default=None)
         sp.add_argument("--max-concurrent-segments", type=int, default=None)
+        sp.add_argument("--winterfell-compat", action="store_true",
+                        help="per-assertion boundary batching "
+                             "(winterfell's composition; also via "
+                             "ZKL_WINTERFELL_COMPAT=1)")
 
     sp = sub.add_parser("run", parents=[glob])
     sp.add_argument("path")
