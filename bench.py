@@ -58,10 +58,47 @@ def _emit(obj: dict) -> None:
     print(json.dumps(obj), flush=True)
 
 
-def _fail(metric: str, error: str, detail: dict) -> None:
+def _fail(metric: str, error: str, detail: dict,
+          try_cpu_fallback: bool = False) -> None:
+    if try_cpu_fallback:
+        detail = dict(detail)
+        detail["cpu_fallback"] = _cpu_fallback_result()
     _emit({"metric": metric, "value": None, "unit": "rows/s",
            "vs_baseline": None, "error": error, "detail": detail})
     sys.exit(0)
+
+
+CPU_FALLBACK_TIMEOUT_S = 2000
+
+
+def _cpu_fallback_result() -> dict:
+    """When the TPU backend is unreachable, still produce a measured
+    number: the weakened-config e2e on the CPU backend, clearly
+    labeled.  Proves the prove+aggregate pipeline end to end even when
+    the tunneled chip is down."""
+    cmd = [sys.executable, os.path.join(HERE, "scripts", "bench_e2e.py"),
+           "--rows", "8192", "--queries", "8", "--blowup", "8",
+           "--grind", "0", "--security-bits", "0"]
+    env = dict(os.environ)
+    env["ZKL_FORCE_CPU"] = "1"
+    env.setdefault("ZKL_DEVICE", "jax")
+    try:
+        out = subprocess.run(cmd, capture_output=True, text=True,
+                             timeout=CPU_FALLBACK_TIMEOUT_S, env=env)
+    except subprocess.TimeoutExpired:
+        return {"error": f"cpu fallback exceeded "
+                         f"{CPU_FALLBACK_TIMEOUT_S}s"}
+    for line in out.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{") and '"metric"' in line:
+            try:
+                res = json.loads(line)
+            except ValueError:
+                break
+            res["device"] = "cpu-fallback (NOT the TPU north star)"
+            return res
+    return {"error": f"cpu fallback rc={out.returncode}",
+            "stderr_tail": out.stderr[-500:]}
 
 
 def probe_backend(cpu: bool) -> dict:
@@ -106,7 +143,7 @@ def probe_backend(cpu: bool) -> dict:
           "TPU backend unavailable after bounded retries "
           f"({PROBE_ATTEMPTS} attempts x {PROBE_TIMEOUT_S}s): "
           f"{attempts[-1].get('error_type')}: {attempts[-1].get('error')}",
-          {"probe_attempts": attempts})
+          {"probe_attempts": attempts}, try_cpu_fallback=not cpu)
 
 
 def run_e2e(small: bool, cpu: bool, extra: list) -> None:

@@ -10,6 +10,14 @@ tests use 8 virtual CPU devices (xla_force_host_platform_device_count).
 
 import os
 
+# Weakened Merkle/FS hasher for test speed: 8 Poseidon rounds instead of
+# 27 (the reference's own ZKL_POSEIDON_HASHER_ROUNDS env,
+# poseidon/hasher.rs:236).  Prove and verify read the same env, so every
+# roundtrip/tamper/byte-equality test is self-consistent; the in-circuit
+# 27-round Poseidon AIR is unaffected.  test_poseidon keeps a
+# default-rounds prove/verify roundtrip for coverage.
+os.environ.setdefault("ZKL_POSEIDON_HASHER_ROUNDS", "8")
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

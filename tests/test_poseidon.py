@@ -105,3 +105,31 @@ def test_rom_weights():
     assert len(w) == 59
     assert w[0] == pow(3, 18, f128.P)
     assert w[58] == pow(3, 76, f128.P)
+
+
+def test_default_hasher_rounds_roundtrip(monkeypatch):
+    """One prove/verify roundtrip at the DEFAULT 27 hasher rounds (the
+    conftest weakens ZKL_POSEIDON_HASHER_ROUNDS to 8 for suite speed)."""
+    import numpy as np
+
+    from zklisp_tpu.air.airpi import build_air_pi_for_trace
+    from zklisp_tpu.air.zk_air import ZkLispAir
+    from zklisp_tpu.compiler import builder as B, ops as O
+    from zklisp_tpu.core.pi import PublicInputsBuilder
+    from zklisp_tpu.prove import stark
+    from zklisp_tpu.prove.params import ProofOptions
+    from zklisp_tpu.trace import build as tb
+
+    monkeypatch.delenv("ZKL_POSEIDON_HASHER_ROUNDS", raising=False)
+    b = B.ProgramBuilder()
+    for op in [O.Const(0, 7), O.Const(1, 9), O.Add(2, 0, 1), O.End()]:
+        b.push(op)
+    prog = b.finalize(B.CompilerMetrics())
+    pi = PublicInputsBuilder(prog).build()
+    tr = tb.build_trace(prog, pi)
+    rom_acc = tb.rom_acc_from_program(prog)
+    air_pi = build_air_pi_for_trace(pi, 0, rom_acc, None, None, tr)
+    air = ZkLispAir(tr.width, tr.length, air_pi)
+    opts = ProofOptions(num_queries=4, blowup=8, grinding_factor=0)
+    proof = stark.prove_trace(tr, air, air_pi, opts, np)
+    stark.verify_trace(proof, air_pi)

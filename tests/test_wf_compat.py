@@ -124,6 +124,28 @@ def test_env_flag_wires_through_prover_options(monkeypatch):
                          ).to_proof_options().per_assertion
 
 
+def test_ext_prover_compat_roundtrip():
+    """Quadratic-extension prover/verifier honor per-assertion batching
+    (>=128-bit aggregation path, stark_ext.py)."""
+    from zklisp_tpu.agg import aggregate as agg
+    from zklisp_tpu.compiler import builder as B, ops as O
+    from zklisp_tpu.prove.params import ProverOptions
+
+    b = B.ProgramBuilder()
+    for op in [O.Const(0, 3), O.Const(1, 4), O.Mul(2, 0, 1), O.End()]:
+        b.push(op)
+    prog = b.finalize(B.CompilerMetrics())
+    from zklisp_tpu.core.pi import PublicInputsBuilder
+    pi = PublicInputsBuilder(prog).build()
+    opts = ProverOptions(queries=33, blowup=16, grind=0,
+                         min_security_bits=128, max_segment_rows=128,
+                         winterfell_compat=True)
+    proof, digest, agg_pi = agg.prove_chain(prog, pi, opts)
+    assert proof.context.options.field_extension == 2
+    assert proof.context.options.per_assertion
+    agg.verify_agg(proof, agg_pi, min_bits=128)
+
+
 @pytest.mark.slow
 def test_device_prover_compat_byte_identical(bundle):
     """The jit-staged device prover honors per-assertion batching and
