@@ -179,3 +179,38 @@ def test_empty_trace_schedule_gates():
         assert tr.get(COLS.g_final, base + schedule.pos_final()) == 1
         for j in range(27):
             assert tr.get(COLS.g_r_index(j), base + 1 + j) == 1
+
+
+def test_pad_tail_state_chain():
+    """Segments that start inside the pad tail (op count below the pow2
+    level grid) chain VM state hashes — the register file is carried
+    through pad levels.  The reference zeroes pad-level registers
+    (vm.rs iterates only prog.ops) and its own serial prev_state check
+    + aggregation VM chain break on such programs (PARITY.md)."""
+    from zklisp_tpu.compiler import compile_entry
+    from zklisp_tpu.prove import planner, prover
+    from zklisp_tpu.prove.params import ProverOptions
+
+    src = ("(def (main a b)\n"
+           "  (loop :max 9 ((i 0) (x a) (y b))\n"
+           "    x\n"
+           "    (recur (+ i 1) y (+ x y))))\n")
+    prog = compile_entry(src, [1, 1])
+    pi = (PublicInputsBuilder(prog)
+          .with_main_args([VmArg.u64(1), VmArg.u64(1)])
+          .build())
+    opts = ProverOptions(queries=4, blowup=8, grind=0,
+                         min_security_bits=0, max_segment_rows=64)
+    segs = planner.plan_segments(prog, pi, opts)
+    n_ops = len(prog.ops)
+    total_levels = 1 << (n_ops - 1).bit_length()
+    assert n_ops < total_levels, "test needs a pad tail"
+    assert any(s.r_start >= n_ops * 32 for s in segs), \
+        "test needs a segment starting in the pad tail"
+    full = tb.build_trace(prog, pi)
+    prev = None
+    for seg in segs:
+        _, layout = prover._segment_layout(prog, pi, seg)
+        _, s_in, s_out = tb.build_segment_trace_with_state(
+            full, seg, layout, prev)
+        prev = tb.PrevState(s_out)   # raises on chain mismatch

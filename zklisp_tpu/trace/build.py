@@ -205,13 +205,35 @@ def initial_vm_regs(pi: pi_mod.PublicInputs) -> List[int]:
     return regs
 
 
+def fill_pad_level_regs(trace, regs: List[int], lvl_from: int,
+                        lvl_to: int) -> None:
+    """Carry the final register file through pad levels.
+
+    The reference zeroes registers on levels beyond the op count
+    (vm.rs iterates only prog.ops), which makes its own serial
+    prev_state chain check and the aggregation VM boundary chain fail
+    whenever a segment starts inside the pad tail (op counts that are
+    not a power of two with small max_segment_rows).  Carrying the file
+    keeps the VM state hash continuous across the used->pad boundary;
+    the register write rule is satisfied (no selectors fire on pad
+    levels, so next == cur) — a deliberate completeness fix over the
+    reference (PARITY.md)."""
+    cols = Columns.baseline()
+    for lvl in range(lvl_from, lvl_to):
+        base = lvl * STEPS_PER_LEVEL_P2
+        for r in range(base, base + STEPS_PER_LEVEL_P2):
+            for i in range(NR):
+                trace.set(cols.r_index(i), r, regs[i])
+
+
 def _fill_vm(trace: TraceTable, prog: Program, pi: pi_mod.PublicInputs,
              mem: Dict[int, int],
              ram_events: List[Tuple[int, int, int, int]],
              lvl_start: int = 0, lvl_end: Optional[int] = None,
              state: Optional[VmSimState] = None,
              capture_at: Optional[set] = None,
-             captures: Optional[dict] = None) -> None:
+             captures: Optional[dict] = None,
+             pad_to_level: Optional[int] = None) -> None:
     cols = Columns.baseline()
     steps = STEPS_PER_LEVEL_P2
 
@@ -591,6 +613,9 @@ def _fill_vm(trace: TraceTable, prog: Program, pi: pi_mod.PublicInputs,
 
     if capture_at is not None and lvl_end in capture_at:
         captures[lvl_end] = _snapshot()
+
+    if pad_to_level is not None and pad_to_level > lvl_end:
+        fill_pad_level_regs(trace, regs, lvl_end, pad_to_level)
 
 
 # ---------------------------------------------------------------------------
@@ -985,7 +1010,7 @@ def build_full_trace(prog: Program, pi: pi_mod.PublicInputs) -> TraceTable:
     ram_events: List[Tuple[int, int, int, int]] = []
     mem: Dict[int, int] = {}
 
-    _fill_vm(trace, prog, pi, mem, ram_events)
+    _fill_vm(trace, prog, pi, mem, ram_events, pad_to_level=total_levels)
     _fill_ram(trace, prog.program_id, ram_events)
     _fill_rom(trace, prog, total_levels)
     return trace

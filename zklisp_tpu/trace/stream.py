@@ -237,7 +237,12 @@ class StreamedTrace:
             scratch_events: List[Tuple[int, int, int, int]] = []
             tb._fill_vm(view, self.prog, self.pi, dict(st.mem),
                         scratch_events, lvl_start=lvl0,
-                        lvl_end=min(lvl1, n_ops), state=st)
+                        lvl_end=min(lvl1, n_ops), state=st,
+                        pad_to_level=(lvl1 if lvl1 > n_ops else None))
+        elif lvl1 > lvl0:
+            # window entirely inside the pad tail: carry the final
+            # register file (matches build_full_trace's pad fill)
+            tb.fill_pad_level_regs(view, list(st.regs), lvl0, lvl1)
         self._fill_ram_window(t, r0, r1_)
         self._fill_rom_window(t, lvl0, lvl1)
         return t
