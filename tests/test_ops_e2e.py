@@ -68,8 +68,11 @@ SEM_CASES = [
      ((1 << 63) + 5, 3), (((1 << 63) + 5) * 3) >> 64),
     ("muldiv", "(def (main a b c) (muldiv a b c))",
      (10, 7, 4), (10 * 7) // 4),
+    # in-set ASSERTS membership; Op::Assert writes 1 to dst
+    # unconditionally (vm/trace/vm.rs:323-334) and the violation only
+    # surfaces in the AIR (c==1) — see test_in_set_miss_unprovable
     ("in_set_hit", "(def (main a) (in-set a (1 2 3)))", (2,), 1),
-    ("in_set_miss", "(def (main a) (in-set a (1 2 3)))", (5,), 0),
+    ("in_set_miss", "(def (main a) (in-set a (1 2 3)))", (5,), 1),
     ("let", "(def (main a) (let ((x (+ a 1)) (y 2)) (* x y)))",
      (4,), 10),
     ("stack", "(def (main a b) (begin (push a) (push b) "
@@ -86,6 +89,27 @@ SEM_CASES = [
 def test_vm_semantics(name, src, args, expected):
     _, _, value = run_main(src, args)
     assert value == expected
+
+
+def test_in_set_miss_unprovable():
+    """A non-member makes the Assert AIR constraint (c==1) fail:
+    preflight with the exact prover AIR reports a violation
+    (run itself succeeds — Assert writes 1, vm/trace/vm.rs:332)."""
+    from zklisp_tpu.air.preflight import run_preflight
+    from zklisp_tpu.air.airpi import build_air_pi_for_trace
+    from zklisp_tpu.air.zk_air import ZkLispAir
+    from zklisp_tpu.trace import build as tb
+
+    prog = compile_entry("(def (main a) (in-set a (1 2 3)))", [5])
+    pi = (PublicInputsBuilder(prog)
+          .with_main_args([VmArg.u64(5)]).build())
+    trace = tb.build_trace(prog, pi)
+    rom_acc = tb.rom_acc_from_program(prog)
+    air_pi = build_air_pi_for_trace(pi, pi.feature_mask, rom_acc, None,
+                                    None, trace)
+    air = ZkLispAir(trace.width, trace.length, air_pi)
+    assert run_preflight(air, trace), \
+        "expected an Assert constraint violation for a set miss"
 
 
 def test_secret_arg_semantics():

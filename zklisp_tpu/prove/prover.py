@@ -110,7 +110,6 @@ def prove_program(program: Program, pub_inputs: pi_mod.PublicInputs,
         if _device_mode():
             import jax
             if stream_mode:
-                from concurrent.futures import ThreadPoolExecutor
                 prefetch = ThreadPoolExecutor(max_workers=1)
 
                 def _prep(seg):
