@@ -135,6 +135,19 @@ def main() -> None:
 
     total = t_trace + t_prove + t_agg
     cold = rows / total
+    # salvage line: if the steady round exceeds the caller's budget,
+    # bench.py falls back to the last INTERIM result instead of failing
+    print("INTERIM " + json.dumps({
+        "metric": "proved_rows_per_sec_2e16_e2e",
+        "value": round(cold, 1), "unit": "rows/s", "vs_baseline": 1.0,
+        "detail": {"rows": rows, "segments": len(steps),
+                   "cold_rows_per_sec": round(cold, 1),
+                   "phase": "cold-only (steady round not finished)",
+                   "trace_s": round(t_trace, 2),
+                   "prove_s": round(t_prove, 2),
+                   "agg_s": round(t_agg, 2),
+                   "queries": args.queries, "blowup": args.blowup,
+                   "grind": args.grind}}), flush=True)
 
     # steady-state round: same shapes, all executables warm — the
     # throughput of a long-running prover (the one-time per-process
