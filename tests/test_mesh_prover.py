@@ -40,12 +40,30 @@ def program_pi():
 
 @pytest.fixture(scope="module")
 def single_device_steps(program_pi):
+    # ZKL_WAVE=0 pins the SERIAL device path: prove_program otherwise
+    # routes multi-segment device proves through the wave prover
     prog, pi = program_pi
     os.environ["ZKL_DEVICE"] = "jax"
+    os.environ["ZKL_WAVE"] = "0"
     try:
         return prover.prove_program(prog, pi, OPTS)
     finally:
         del os.environ["ZKL_DEVICE"]
+        del os.environ["ZKL_WAVE"]
+
+
+def test_single_device_wave_byte_identical(program_pi,
+                                           single_device_steps):
+    """Waves of W>1 segments on ONE device (the tunneled-TPU default
+    path in prove_program) produce byte-identical proofs."""
+    from zklisp_tpu.parallel.mesh_prover import (default_mesh,
+                                                 prove_program_mesh)
+    prog, pi = program_pi
+    steps = prove_program_mesh(prog, pi, OPTS, mesh=default_mesh(1),
+                               wave=4)
+    assert len(steps) == len(single_device_steps)
+    for wave_s, single_s in zip(steps, single_device_steps):
+        assert wave_s.to_bytes() == single_s.to_bytes()
 
 
 def test_mesh_steps_byte_identical(program_pi, single_device_steps):

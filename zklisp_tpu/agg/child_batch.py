@@ -31,7 +31,15 @@ NL = limb.NLIMB
 
 
 def _xp():
-    if os.environ.get("ZKL_DEVICE", "").lower() in ("jax", "tpu"):
+    """Array namespace for the batched child math.
+
+    Host numpy by default EVEN under ZKL_DEVICE=jax: the per-child
+    aggregates are many small (children x queries)-sized ops, and over
+    a high-latency tunneled chip the dispatch round-trips dominate —
+    measured 352 s steady for 16 children on the TPU path vs ~11 s on
+    the threaded host path at q=64.  ZKL_AGG_DEVICE=1 opts the batch
+    math onto the device (sensible for locally-attached chips)."""
+    if os.environ.get("ZKL_AGG_DEVICE", "") not in ("", "0"):
         import jax.numpy as jnp
         return jnp
     return _np

@@ -123,7 +123,8 @@ class _SegPrep:
 # the wave prover
 # ---------------------------------------------------------------------------
 
-def _prove_wave(preps: List[_SegPrep], mesh) -> List[StarkProof]:
+def _prove_wave(preps: List[_SegPrep], mesh,
+                wave_width: int = 0) -> List[StarkProof]:
     """Prove S structurally-identical segments as one vmapped wave."""
     import jax
     import jax.numpy as jnp
@@ -132,11 +133,14 @@ def _prove_wave(preps: List[_SegPrep], mesh) -> List[StarkProof]:
     from ..utils.tracing import phase
 
     S_real = len(preps)
-    # pad the wave to the mesh width: sharding needs the segment axis
+    # pad the wave to the target width: sharding needs the segment axis
     # divisible by the mesh, and padding keeps ONE executable shape per
     # structure group (pad slots repeat the last segment; their device
-    # work is discarded — host assembly below only walks real segments)
-    W = max(mesh.size, 1) if mesh is not None else 1
+    # work is discarded — host assembly below only walks real segments).
+    # wave_width > mesh.size batches several segments PER DEVICE: on a
+    # single high-latency (tunneled) chip this divides the per-stage
+    # dispatch count by the wave width.
+    W = max(mesh.size if mesh is not None else 1, 1, wave_width)
     preps = list(preps) + [preps[-1]] * (W - S_real if S_real < W else 0)
     S = len(preps)
     p0 = preps[0]
@@ -487,10 +491,34 @@ def _prove_wave(preps: List[_SegPrep], mesh) -> List[StarkProof]:
 # public entry
 # ---------------------------------------------------------------------------
 
+def default_wave_width(mesh, n: int, w: int, blowup: int,
+                       n_seg: int) -> int:
+    """Segments batched per wave: a multiple of the mesh size chosen so
+    the wave's device residency (trace LDE + commit transpose transient
+    + quotient) stays within the HBM budget, clamped to the segment
+    count (waves pad to the width).  Override: ZKL_WAVE=k."""
+    base = max(mesh.size if mesh is not None else 1, 1)
+
+    def ceil_mult(x: int) -> int:
+        return ((x + base - 1) // base) * base
+
+    env = os.environ.get("ZKL_WAVE", "")
+    if env:
+        return max(int(env), 1)
+    budget = float(os.environ.get("ZKL_WAVE_BYTES", 9e9))
+    # per-segment: trace LDE (w,N,8) u32, ~equal-size commit-transpose
+    # transient, quotient LDE + polys and workspace (~0.5x)
+    per_seg = w * n * blowup * limb.NLIMB * 4 * 2.5
+    cap = max(1, int(budget / max(per_seg, 1)))
+    W = max(base, (min(cap, 16) // base) * base)
+    return min(W, ceil_mult(n_seg))
+
+
 def prove_program_mesh(program: Program, pub_inputs: pi_mod.PublicInputs,
                        opts: ProverOptions,
-                       mesh=None) -> List[StepProof]:
-    """prove_program with segments sharded across a device mesh.
+                       mesh=None, wave: int = 0) -> List[StepProof]:
+    """prove_program with segments sharded across a device mesh and/or
+    batched into vmapped waves per device.
 
     Semantics of the parallel reference path (prove.rs:1018-1051):
     segments proved independently (no prev_state chaining).  Requires
@@ -512,21 +540,22 @@ def prove_program_mesh(program: Program, pub_inputs: pi_mod.PublicInputs,
                       base_opts, opts.min_security_bits, suite_id, rom_acc)
              for i, seg in enumerate(segments)]
 
-    # group structurally-identical segments into waves of <= mesh size
+    # group structurally-identical segments into waves
     waves: List[List[_SegPrep]] = []
     by_key: dict = {}
     for p in preps:
         by_key.setdefault(p.structure_key(), []).append(p)
-    W = max(mesh.size, 1)
+    W = wave or default_wave_width(mesh, preps[0].n, preps[0].w,
+                                   base_opts.blowup, n_seg)
     for key in by_key:
         grp = by_key[key]
         for s in range(0, len(grp), W):
             waves.append(grp[s:s + W])
 
     steps: List[Optional[StepProof]] = [None] * n_seg
-    for wave in waves:
-        inner_proofs = _prove_wave(wave, mesh)
-        for p, inner in zip(wave, inner_proofs):
+    for wave_preps in waves:
+        inner_proofs = _prove_wave(wave_preps, mesh, wave_width=W)
+        for p, inner in zip(wave_preps, inner_proofs):
             zl1 = Zl1Proof.new_multi_segment(
                 suite_id, p.meta, pub_inputs, p.index, n_seg,
                 p.boundary, inner)

@@ -84,6 +84,17 @@ def prove_program(program: Program, pub_inputs: pi_mod.PublicInputs,
     stream_env = os.environ.get("ZKL_STREAM_TRACE", "")
     stream_mode = (stream_env not in ("", "0")
                    or (not stream_env and n_rows_total >= (1 << 19)))
+
+    # Device default for multi-segment programs: WAVE proving — every
+    # prover stage one vmapped dispatch covering several segments
+    # (parallel/mesh_prover.py with a single-device "mesh").  Divides
+    # the per-stage dispatch count by the wave width, which is what a
+    # high-latency tunneled chip is bound by.  Proofs byte-identical to
+    # the serial path (asserted in tests).  Opt out: ZKL_WAVE=0.
+    if (not stream_mode and len(segments) > 1 and _device_mode()
+            and os.environ.get("ZKL_WAVE", "") != "0"):
+        from ..parallel.mesh_prover import prove_program_mesh
+        return prove_program_mesh(program, pub_inputs, opts)
     if stream_mode:
         from ..trace.stream import StreamedTrace
         full_trace = StreamedTrace(program, pub_inputs, segments)
