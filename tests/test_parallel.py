@@ -63,3 +63,34 @@ def test_sharded_coset_lde_matches_single_chip(mesh8):
 def test_dryrun_multichip_executes():
     import __graft_entry__ as g
     g.dryrun_multichip(8)
+
+
+def test_default_wave_width_clamps():
+    """HBM-budget wave width: multiple of mesh size, clamped to the
+    (mesh-rounded) segment count, >= 1, env-overridable."""
+    import os
+
+    from zklisp_tpu.parallel.mesh_prover import default_wave_width
+
+    class FakeMesh:
+        def __init__(self, size):
+            self.size = size
+
+    # flagship config: 4096-row segments, 219 cols, blowup 16 -> a few
+    # segments per wave within the ~9 GB default budget
+    w = default_wave_width(FakeMesh(1), 4096, 219, 16, n_seg=16)
+    assert 2 <= w <= 16
+    # tiny segments: capped by the segment count, not the budget
+    assert default_wave_width(FakeMesh(1), 64, 100, 8, n_seg=3) == 3
+    # mesh multiple preserved
+    w8 = default_wave_width(FakeMesh(8), 64, 100, 8, n_seg=16)
+    assert w8 % 8 == 0 and w8 <= 16
+    # huge segments: never below one per device
+    assert default_wave_width(FakeMesh(1), 1 << 20, 219, 16,
+                              n_seg=4) == 1
+    os.environ["ZKL_WAVE"] = "5"
+    try:
+        assert default_wave_width(FakeMesh(1), 4096, 219, 16,
+                                  n_seg=16) == 5
+    finally:
+        del os.environ["ZKL_WAVE"]
