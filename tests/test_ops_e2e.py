@@ -132,11 +132,15 @@ E2E_CASES = [
      "(assert-bit (= a 7)) (assert-range a 32) "
      "(if (= a 7) (+ a b) 0)))",
      (7, 9), 16),
-    # gadgets.rs: the ALU gadget stack in one program
+    # gadgets.rs: the ALU gadget stack in one program.  NOTE: two
+    # divmods can't be live at once — divmod holds 6 temps at peak
+    # (lower/alu.rs:145-300) so (safe-add (divmod-q a b) (divmod-r a b))
+    # needs 9 of the NR=8 registers and the reference compiler would
+    # reject it identically (see test_gadget_nesting_reg_overflow).
     ("gadgets",
-     "(def (main a b) (+ (safe-add (divmod-q a b) (divmod-r a b)) "
+     "(def (main a b) (+ (safe-add (divmod-q a b) 2) "
      "(+ (mulwide-lo a b) (muldiv a b 2))))",
-     (17, 5), (3 + 2) + (17 * 5) + (17 * 5) // 2),
+     (17, 5), (17 // 5 + 2) + (17 * 5) + (17 * 5) // 2),
     # hash2.rs / sponge.rs: sponge absorb/squeeze through hash2
     ("hash2", "(def (main a b) (= (hash2 a b) (hash2 a b)))",
      (11, 22), 1),
@@ -167,6 +171,19 @@ def test_op_e2e_prove_verify(name, src, args, expected):
     prog, pi, value = run_main(src, args)
     assert value == expected
     prove_verify(prog, pi)
+
+
+def test_gadget_nesting_reg_overflow():
+    """Two simultaneously-live divmods exceed the NR=8 register file:
+    the divmod gadget holds 6 temps at its peak (mirroring the
+    reference's temp lifetimes, lower/alu.rs:145-300), so with a, b and
+    one held gadget result live the lowering must fail with a clean
+    RegOverflow — not emit a corrupt op stream."""
+    from zklisp_tpu.compiler.errors import RegOverflow
+    with pytest.raises(RegOverflow):
+        compile_entry(
+            "(def (main a b) (safe-add (divmod-q a b) (divmod-r a b)))",
+            [17, 5])
 
 
 def test_secret_gadgets_e2e():
