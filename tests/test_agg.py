@@ -97,6 +97,51 @@ def test_verify_chain_broken_link(chain_bundle):
             [(proof, digest, agg_pi), (proof, digest, second)], OPTS)
 
 
+def test_chain_prev_digest_tamper_rejected(chain_bundle):
+    """recursion_multi.rs:82 — a second link whose prev_digest does not
+    equal the first link's RecursionDigest is rejected."""
+    _, _, proof, digest, agg_pi = chain_bundle
+    second = copy.deepcopy(agg_pi)
+    second.prev_digest = bytes([7] * 32)   # wrong linkage
+    with pytest.raises(agg.AggError, match="prev_digest"):
+        agg.verify_chain(
+            [(proof, digest, agg_pi), (proof, digest, second)], OPTS)
+
+
+def test_chain_first_link_prev_digest_must_be_zero(chain_bundle):
+    _, _, proof, digest, agg_pi = chain_bundle
+    first = copy.deepcopy(agg_pi)
+    first.prev_digest = bytes([1] * 32)
+    with pytest.raises(agg.AggError, match="must be zero"):
+        agg.verify_chain([(proof, digest, first)], OPTS)
+
+
+def test_chain_suite_id_mismatch_rejected(chain_bundle):
+    """recursion_multi.rs:267 — suite_id must be constant across the
+    chain (suite_id is host-checked, not part of the agg FS seed)."""
+    _, _, proof, digest, agg_pi = chain_bundle
+    second = copy.deepcopy(agg_pi)
+    second.prev_digest = digest
+    second.suite_id = bytes([5] * 32)
+    with pytest.raises(agg.AggError, match="suite_id"):
+        agg.verify_chain(
+            [(proof, digest, agg_pi), (proof, digest, second)], OPTS)
+
+
+def test_chain_program_identity_mismatch_rejected(chain_bundle):
+    """recursion_multi.rs:325,383 — program_id / program_commitment
+    must be constant across the chain (these ARE in the FS seed, so the
+    tamper surfaces as a verification failure or the constancy error)."""
+    _, _, proof, digest, agg_pi = chain_bundle
+    for field_name in ("program_id", "program_commitment"):
+        second = copy.deepcopy(agg_pi)
+        second.prev_digest = digest
+        setattr(second, field_name, bytes([6] * 32))
+        with pytest.raises((agg.AggError, stark.VerifyError)):
+            agg.verify_chain(
+                [(proof, digest, agg_pi), (proof, digest, second)], OPTS)
+
+
 def test_children_root_order_invariance(chain_bundle):
     # children_root sorts leaves: permuting steps preserves the root
     prog, pi, *_ = chain_bundle

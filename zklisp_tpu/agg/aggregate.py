@@ -94,6 +94,11 @@ class AggAirPublicInputs:
     ram_gp_sorted_final: bytes = b"\x00" * 32
     rom_s_initial: Tuple[bytes, bytes, bytes] = (b"\x00" * 32,) * 3
     rom_s_final: Tuple[bytes, bytes, bytes] = (b"\x00" * 32,) * 3
+    # Host-level chain linkage (RecursionPublic.prev_digest,
+    # recursion.rs:71-88): set by multi-link chain builders, enforced by
+    # verify_chain.  NOT part of to_elements (the FS seed) or the ZKLRC1
+    # codec — the reference keeps it out of both as well.
+    prev_digest: bytes = b"\x00" * 32
 
     def to_elements(self) -> List[int]:
         fold = f128.fold_bytes32_to_fe
@@ -903,9 +908,12 @@ def verify_chain(chain, opts: ProverOptions) -> None:
                 raise AggError(
                     "program_commitment must be constant across chain")
         if prev_pi is None:
-            if any(getattr(rc_pi, "prev_digest", b"\x00" * 32)):
+            if any(rc_pi.prev_digest):
                 raise AggError("first link prev_digest must be zero")
         else:
+            if rc_pi.prev_digest != prev_digest:
+                raise AggError(
+                    "prev_digest must match previous link's digest")
             if rc_pi.vm_state_initial != prev_pi.vm_state_final:
                 raise AggError("vm_state_initial must chain")
             if rc_pi.ram_gp_unsorted_initial != \
