@@ -505,13 +505,20 @@ def default_wave_width(mesh, n: int, w: int, blowup: int,
     env = os.environ.get("ZKL_WAVE", "")
     if env:
         return max(int(env), 1)
-    budget = float(os.environ.get("ZKL_WAVE_BYTES", 9e9))
+    budget = float(os.environ.get("ZKL_WAVE_BYTES", 10.5e9))
     # per-segment: trace LDE (w,N,8) u32, ~equal-size commit-transpose
     # transient, quotient LDE + polys and workspace (~0.5x)
     per_seg = w * n * blowup * limb.NLIMB * 4 * 2.5
     cap = max(1, int(budget / max(per_seg, 1)))
     W = max(base, (min(cap, 16) // base) * base)
-    return min(W, ceil_mult(n_seg))
+    W = min(W, ceil_mult(n_seg))
+    # balance the waves: shrinking W to ceil(n_seg / n_waves) keeps the
+    # same wave count but minimizes padded tail slots (e.g. 16 segments
+    # at cap 10 -> two waves of 8, not 10+6-padded-to-10)
+    if n_seg > 0 and W < n_seg:
+        n_waves = -(-n_seg // W)
+        W = max(base, ceil_mult(-(-n_seg // n_waves)))
+    return W
 
 
 def prove_program_mesh(program: Program, pub_inputs: pi_mod.PublicInputs,
