@@ -32,9 +32,11 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 # Bounded-retry policy for the axon tunnel: each probe subprocess gets
 # PROBE_TIMEOUT_S; after a failure we wait RETRY_WAIT_S and try again.
 PROBE_ATTEMPTS = 3
-PROBE_TIMEOUT_S = 420      # first device contact can take ~3-7 min
+PROBE_TIMEOUT_S = 660      # cold tunnel contact measured up to ~9.5 min
 RETRY_WAIT_S = 90
 BENCH_TIMEOUT_S = 3000     # hard budget for the full e2e run (cold+steady)
+E2E_RETRY_MIN_S = 900      # only retry a failed e2e if this much budget remains
+_E2E_DEADLINE = None       # set on first run_e2e call; shared by retries
 
 _PROBE_SRC = r"""
 import json, time, sys
@@ -146,12 +148,15 @@ def probe_backend(cpu: bool) -> dict:
           {"probe_attempts": attempts}, try_cpu_fallback=not cpu)
 
 
-def run_e2e(small: bool, cpu: bool, extra: list) -> None:
+def run_e2e(small: bool, cpu: bool, extra: list,
+            attempts: int = 2) -> None:
     """Run scripts/bench_e2e.py in a subprocess under a hard time budget.
 
     bench_e2e prints its own single JSON line (steady-state headline);
-    we pass it through verbatim. On timeout/crash we synthesize the
-    structured-error line instead.
+    we pass it through verbatim. Device-side crashes (the tunneled
+    remote-compile service 500s intermittently) get one bounded retry;
+    after that the structured-error line carries a measured CPU-fallback
+    number so the round still records throughput data.
     """
     cmd = [sys.executable, os.path.join(HERE, "scripts", "bench_e2e.py")]
     if small:
@@ -162,10 +167,17 @@ def run_e2e(small: bool, cpu: bool, extra: list) -> None:
     env.setdefault("ZKL_DEVICE", "jax")
     if cpu:
         env["ZKL_FORCE_CPU"] = "1"
+    # ONE overall deadline shared by every attempt: the driver enforces
+    # an outer budget, so a retry must consume remaining time, not
+    # stack a second full budget on top.
+    global _E2E_DEADLINE
+    if _E2E_DEADLINE is None:
+        _E2E_DEADLINE = time.time() + BENCH_TIMEOUT_S
+    remaining = max(60.0, _E2E_DEADLINE - time.time())
     t0 = time.time()
     try:
         out = subprocess.run(cmd, capture_output=True, text=True,
-                             timeout=BENCH_TIMEOUT_S, env=env)
+                             timeout=remaining, env=env)
     except subprocess.TimeoutExpired as e:
         stdout = (e.stdout or b"")
         if isinstance(stdout, bytes):
@@ -191,18 +203,43 @@ def run_e2e(small: bool, cpu: bool, extra: list) -> None:
                "partial_output": stdout[-2000:]})
         return
     # progress lines go to stderr so stdout is exactly one JSON line
+    err_line = None
     for line in out.stdout.splitlines():
         line = line.strip()
         if line.startswith("{") and '"metric"' in line:
-            print(line, flush=True)
-            sys.exit(0)
+            try:
+                res = json.loads(line)
+            except ValueError:
+                res = None
+            if res is not None and res.get("value") is not None:
+                print(line, flush=True)
+                sys.exit(0)
+            # a structured-error line from bench_e2e (device crash
+            # mid-run): fall through to retry / CPU fallback
+            err_line = res if res is not None else {"raw": line}
         elif line:
             print("# " + line, file=sys.stderr, flush=True)
+    can_retry = (attempts > 1
+                 and _E2E_DEADLINE - time.time() > E2E_RETRY_MIN_S)
+    if err_line is not None and not can_retry:
+        err_line.setdefault("detail", {})
+        if not cpu:
+            err_line["detail"]["cpu_fallback"] = _cpu_fallback_result()
+        _emit(err_line)
+        sys.exit(0)
+    if can_retry:
+        # tunneled-TPU compile service crashes are transient; one retry
+        # within the shared deadline
+        print(f"# e2e attempt failed rc={out.returncode}; retrying",
+              file=sys.stderr, flush=True)
+        time.sleep(RETRY_WAIT_S)
+        return run_e2e(small, cpu, extra, attempts - 1)
     _fail("proved_rows_per_sec_2e16_e2e",
           f"e2e bench exited rc={out.returncode} without a JSON result",
           {"elapsed_s": round(time.time() - t0, 1),
            "stdout_tail": out.stdout[-1000:],
-           "stderr_tail": out.stderr[-2000:]})
+           "stderr_tail": out.stderr[-2000:]},
+          try_cpu_fallback=not cpu)
 
 
 def run_lde_commit(small: bool, cpu: bool) -> None:
