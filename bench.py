@@ -217,6 +217,9 @@ def run_e2e(small: bool, cpu: bool, extra: list,
             # a structured-error line from bench_e2e (device crash
             # mid-run): fall through to retry / CPU fallback
             err_line = res if res is not None else {"raw": line}
+            print("# e2e error: "
+                  + str((err_line.get("error") or line))[:300],
+                  file=sys.stderr, flush=True)
         elif line:
             print("# " + line, file=sys.stderr, flush=True)
     can_retry = (attempts > 1
