@@ -214,3 +214,30 @@ def test_pad_tail_state_chain():
         _, s_in, s_out = tb.build_segment_trace_with_state(
             full, seg, layout, prev)
         prev = tb.PrevState(s_out)   # raises on chain mismatch
+
+
+def test_slice_rows_carries_limb_cache():
+    """slice_rows propagates the parent's cached uint16 limb array (a
+    numpy fancy slice) and it matches a fresh per-segment conversion —
+    the per-segment host cost the wave prover amortizes."""
+    import random
+
+    import numpy as np
+
+    from zklisp_tpu.field import f128
+    from zklisp_tpu.trace.table import TraceTable
+
+    rng = random.Random(7)
+    t = TraceTable(5, 64)
+    for c in range(5):
+        for r in range(64):
+            t.set(c, r, rng.randrange(f128.P))
+    t.to_limbs16()                      # build the parent cache
+    sliced = t.slice_rows(32, 64, [4, 2, 0])
+    assert sliced._limbs16 is not None  # carried, not re-converted
+    fresh = TraceTable(3, 32)
+    for i, c in enumerate([4, 2, 0]):
+        fresh.cols[i] = t.cols[c][32:64]
+    assert np.array_equal(sliced.to_limbs16(), fresh.to_limbs16())
+    # without a parent cache the slice stays lazy
+    assert TraceTable(2, 8).slice_rows(0, 8)._limbs16 is None

@@ -169,6 +169,31 @@ def _prove_wave(preps: List[_SegPrep], mesh,
                 col.astype(jnp.uint32), jnp))(c))))(cols16)
         trace_lde = lde_columns_sharded(polys1[0], blowup, mesh)[None]
         trace_polys = polys1
+    elif mesh is None or mesh.size <= 1:
+        # single-device wave: a flat vmap over S x w columns
+        # materializes the NTT's 16-bit limb-product transient for
+        # every column at once (~512 B x N per column — tens of GB per
+        # wave), which the tunneled TPU's AOT compile rejects as an
+        # HBM-exceeding allocation.  Flatten segments into the column
+        # axis and lax.map over bounded column chunks: still ONE
+        # dispatch for the whole wave's LDE, transient capped at
+        # chunk x N x 512 B (~2 GB at the default 64).
+        cc = int(os.environ.get("ZKL_LDE_COL_CHUNK", "64"))
+        Ctot = S * w
+        pad_c = (-Ctot) % cc
+        flat = cols16.reshape(Ctot, n, cols16.shape[-1])
+        if pad_c:
+            flat = jnp.concatenate([flat, flat[:pad_c]], axis=0)
+        n_chunks = (Ctot + pad_c) // cc
+        lde_fn = _cached(("ldec", n, blowup, n_chunks, cc),
+                         lambda: sd._lde_cols_mapped_fn(n, blowup,
+                                                        n_chunks))
+        polys_c, lde_c = lde_fn(
+            flat.reshape(n_chunks, cc, n, flat.shape[-1]))
+        trace_polys = polys_c.reshape(-1, n, limb.NLIMB)[:Ctot].reshape(
+            S, w, n, limb.NLIMB)
+        trace_lde = lde_c.reshape(-1, N, limb.NLIMB)[:Ctot].reshape(
+            S, w, N, limb.NLIMB)
     else:
         lde_fn = _cached(("lde", n, blowup, S),
                          lambda: jax.jit(jax.vmap(
@@ -176,9 +201,16 @@ def _prove_wave(preps: List[_SegPrep], mesh,
         trace_polys, trace_lde = lde_fn(cols16)
     jax.block_until_ready(trace_lde); ph.__exit__(None, None, None)
 
-    # stage 2: trace commitment
+    # stage 2: trace commitment.  The leaf-hash transient inside
+    # _commit_cols_fn's lax.map is ~52 KB x chunk rows PER SEGMENT;
+    # shrink the row chunk with the wave width so the whole wave's
+    # commit transient stays near one serial segment's (the vmapped
+    # whole-N chunk at S=8 is a 27 GB allocation the AOT compile
+    # rejects).
     ps_main = opts.partition_size(w)
     chunk = min(sd.ROW_CHUNK, N)
+    if S > 1:
+        chunk = max(4096, min(chunk, N // S))
     commit_fn = _cached(("commit", w, N, chunk, ps_main, S),
                         lambda: jax.jit(jax.vmap(
                             sd._commit_cols_fn(w, N, chunk, ps_main))))
@@ -189,6 +221,7 @@ def _prove_wave(preps: List[_SegPrep], mesh,
         _np.asarray(t_levels[-1]).reshape(S, limb.NLIMB))]
 
     # FS coins per segment (host, lockstep)
+    ph = phase("wave_fs_coeffs", S=S); ph.__enter__()
     coins, alphas_l, betas_l = [], [], []
     for i, p in enumerate(preps):
         ctx = ProofContext(w, n, opts)
@@ -198,6 +231,7 @@ def _prove_wave(preps: List[_SegPrep], mesh,
             p.air.num_transition_constraints()))
         betas_l.append(coin.draw_many(len(p.groups)))
         coins.append(coin)
+    ph.__exit__(None, None, None)
 
     # config-constant host tables + constraint bytecode (shared: the
     # structure key guarantees identical layout/groups)
@@ -293,6 +327,7 @@ def _prove_wave(preps: List[_SegPrep], mesh,
         coin.reseed(f128.fe_to_bytes_fold(c_roots[i]))
 
     # stage 4: OOD
+    ph = phase("wave_zpows", S=S); ph.__enter__()
     zs = [coin.draw() for coin in coins]
     g_trace = f128.get_root_of_unity(n)
     zgs = [f128.mul(z, g_trace) for z in zs]
@@ -306,6 +341,7 @@ def _prove_wave(preps: List[_SegPrep], mesh,
 
     zp = put(_np.stack([zpows_host(z) for z in zs]))
     zgp = put(_np.stack([zpows_host(zg) for zg in zgs]))
+    ph.__exit__(None, None, None)
     ood_t_fn = _cached(("ood", w, n, S),
                        lambda: jax.jit(jax.vmap(sd._ood_fn(w, n))))
     ood_q_fn = _cached(("ood", Q, n, S),
@@ -352,13 +388,16 @@ def _prove_wave(preps: List[_SegPrep], mesh,
     gz_dev = put(_np.asarray(limb.from_ints(gz_l)))
     gzg_dev = put(_np.asarray(limb.from_ints(gzg_l)))
 
-    dfn = _cached(("deep", w, Q, chunk, S),
-                  lambda: jax.jit(jax.vmap(sd._deep_chunk_fn(w, Q, chunk))))
+    deep_chunk = min(sd.ROW_CHUNK, N)   # full rows: DEEP's transient is
+    dfn = _cached(                      # small (no leaf-hash expansion)
+        ("deep", w, Q, deep_chunk, S),
+        lambda: jax.jit(jax.vmap(sd._deep_chunk_fn(w, Q, deep_chunk))))
     deep_parts = [
-        dfn(trace_lde[:, :, s:s + chunk], q_lde[:, :, s:s + chunk],
+        dfn(trace_lde[:, :, s:s + deep_chunk],
+            q_lde[:, :, s:s + deep_chunk],
             coeffs_dev, gz_dev, gzg_dev,
-            inv_xz[:, s:s + chunk], inv_xzg[:, s:s + chunk])
-        for s in range(0, N, chunk)]
+            inv_xz[:, s:s + deep_chunk], inv_xzg[:, s:s + deep_chunk])
+        for s in range(0, N, deep_chunk)]
     deep = (deep_parts[0] if len(deep_parts) == 1
             else jnp.concatenate(deep_parts, axis=1))
     with phase("wave_deep_sync", S=S):
@@ -543,9 +582,14 @@ def prove_program_mesh(program: Program, pub_inputs: pi_mod.PublicInputs,
                if any(pub_inputs.program_id) else (0, 0, 0))
 
     n_seg = len(segments)
-    preps = [_SegPrep(i, n_seg, seg, full_trace, program, pub_inputs,
-                      base_opts, opts.min_security_bits, suite_id, rom_acc)
-             for i, seg in enumerate(segments)]
+    from ..utils.tracing import phase
+    with phase("wave_limb_convert"):
+        full_trace.to_limbs16()   # once; segments numpy-slice the cache
+    with phase("wave_seg_prep", n_seg=n_seg):
+        preps = [_SegPrep(i, n_seg, seg, full_trace, program, pub_inputs,
+                          base_opts, opts.min_security_bits, suite_id,
+                          rom_acc)
+                 for i, seg in enumerate(segments)]
 
     # group structurally-identical segments into waves
     waves: List[List[_SegPrep]] = []

@@ -245,6 +245,36 @@ def _open_paths_fn(level_sizes):
 
 
 @lru_cache(maxsize=None)
+def _lde_cols_mapped_fn(n: int, blowup: int, n_chunks: int):
+    """LDE over a flat column axis in ONE dispatch with a bounded
+    transient: lax.map over column chunks keeps the NTT's 16-bit
+    limb-product intermediate (~512 B x N per column) to one chunk at a
+    time.  The caller reshapes (C, n, 8) -> (n_chunks, C/n_chunks, n, 8).
+
+    Motivation: the tunneled TPU's AOT compile rejects graphs whose
+    peak allocation exceeds HBM, and a wave's flat vmap over S x 219
+    columns materializes a multi-10 GB product tensor; chunking bounds
+    it regardless of wave width."""
+    import jax
+    jnp = _jnp()
+    N = n * blowup
+    pows_f = _np.asarray(ntt.powers_table(N.bit_length() - 1, _np))
+    pows_i = _np.asarray(ntt.powers_table(n.bit_length() - 1, _np,
+                                          inverse=True))
+
+    def one(col):
+        col = col.astype(jnp.uint32)
+        poly = ntt.intt(col, jnp, pows_inv=jnp.asarray(pows_i))
+        return poly, ntt.coset_evaluate(poly, blowup, jnp,
+                                        pows=jnp.asarray(pows_f))
+
+    def fn(chunked):                      # (n_chunks, cc, n, 8)
+        return jax.lax.map(jax.vmap(one), chunked)
+
+    return jax.jit(fn)
+
+
+@lru_cache(maxsize=None)
 def _commit_cols_fn(C: int, N: int, chunk: int, partition_size: int):
     """Whole column-major commit (leaf hashing + tree) in ONE dispatch.
 

@@ -62,4 +62,11 @@ class TraceTable:
         out = TraceTable(len(col_map), r_end - r_start)
         for seg_c, full_c in enumerate(col_map):
             out.cols[seg_c] = self.cols[full_c][r_start:r_end]
+        if self._limbs16 is not None:
+            # carry the parent's cached limb conversion: a numpy fancy
+            # slice instead of re-converting ~1M Python ints per
+            # segment (a measured multi-second per-segment host cost)
+            out._limbs16 = np.ascontiguousarray(
+                self._limbs16[np.asarray(col_map, dtype=np.intp),
+                              r_start:r_end])
         return out
