@@ -51,6 +51,52 @@ def test_typed_arg_parsing():
         cli.parse_public_args([f"u128:{1 << 100}"])
 
 
+def test_merkle_root_flag_prove_verify(capsys, tmp_path):
+    """--merkle-root (beyond the reference CLI, which has no flag and
+    cannot prove multi-level merkle programs): compute the expected
+    root host-side, prove with it bound into the PI, verify with the
+    same flag; a wrong root must fail the pi_digest identity check."""
+    from zklisp_tpu.compiler import compile_entry
+    from zklisp_tpu.crypto.poseidon import merkle_root_from_path
+
+    src = tmp_path / "mk.zlisp"
+    src.write_text(
+        "(def (main leaf) (merkle-verify leaf ((0 2) (1 3))))")
+    prog = compile_entry(src.read_text(), [1])
+    root = merkle_root_from_path(prog.program_id, 1, [(0, 2), (1, 3)])
+
+    out_path = str(tmp_path / "mk.bin")
+    rc, out = run_cli(capsys, [
+        "prove", str(src), "--arg", "u64:1", "--merkle-root", str(root),
+        "--queries", "8", "--blowup", "8", "--grind", "0",
+        "--security-bits", "0", "--out", out_path, "--json"])
+    assert rc == 0 and json.loads(out)["ok"]
+
+    rc, out = run_cli(capsys, [
+        "verify", out_path, str(src), "--arg", "u64:1",
+        "--merkle-root", str(root), "--security-bits", "0", "--json"])
+    assert rc == 0 and json.loads(out)["ok"]
+
+    rc, out = run_cli(capsys, [
+        "verify", out_path, str(src), "--arg", "u64:1",
+        "--merkle-root", str((root + 1)), "--security-bits", "0",
+        "--json"])
+    assert rc == 1
+    assert "pi_digest" in json.loads(out)["error"]
+
+
+def test_merkle_root_flag_parsing():
+    assert cli.parse_merkle_root(None) is None
+    assert cli.parse_merkle_root("5") == \
+        (5).to_bytes(16, "little") + b"\x00" * 16
+    raw = "0x" + "ab" * 32
+    assert cli.parse_merkle_root(raw) == bytes.fromhex("ab" * 32)
+    with pytest.raises(cli.CliError):
+        cli.parse_merkle_root("0x0102")
+    with pytest.raises(cli.CliError):
+        cli.parse_merkle_root("zz")
+
+
 def test_preflight_catches_bad_assert(capsys, tmp_path):
     src = tmp_path / "bad.zlisp"
     src.write_text(

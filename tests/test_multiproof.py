@@ -58,6 +58,43 @@ def test_unsorted_positions(tree):
     assert expanded == paths and root == tree.root
 
 
+def test_canonical_independent_of_input_order(tree):
+    """wf-compat surface: the compressed node set must be CANONICAL —
+    a function of the position SET only (winterfell's BatchMerkleProof
+    sorts/folds positions deterministically, agg/child.rs decompression
+    depends on it) — so any permutation of the same positions yields
+    byte-identical compressed nodes."""
+    import itertools
+    positions = [41, 7, 22, 63, 21, 40]
+    base = None
+    for perm in itertools.islice(
+            itertools.permutations(positions), 0, 24, 5):
+        perm = list(perm)
+        mp = multiproof.compress(perm, [tree.open(p) for p in perm])
+        key = tuple(tuple(level) for level in mp.nodes)
+        if base is None:
+            base = key
+        assert key == base, f"non-canonical compression for {perm}"
+
+
+def test_fri_folded_positions_pairs(tree):
+    """Adjacent sibling pairs (the shape FRI folding produces after
+    fold_positions) compress with zero redundant sibling nodes and
+    still expand to verifying paths."""
+    positions = [10, 11, 30, 31, 54, 55]
+    paths = [tree.open(p) for p in positions]
+    mp = multiproof.compress(positions, paths)
+    expanded, root = multiproof.expand(
+        mp, positions, [_leaf(tree, p) for p in positions])
+    assert expanded == paths and root == tree.root
+    # every sibling leaf is in the opened set, so no level-0 sibling
+    # nodes ship at all — compression must exploit the pairing
+    assert len(mp.nodes[0]) == 0
+    lone = multiproof.compress([10, 30, 54],
+                               [tree.open(p) for p in [10, 30, 54]])
+    assert mp.num_nodes() < lone.num_nodes() + 3
+
+
 def test_malformed_proofs_rejected(tree):
     positions = [5, 37]
     paths = [tree.open(p) for p in positions]

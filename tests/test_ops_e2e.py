@@ -22,13 +22,15 @@ from zklisp_tpu.prove.params import ProverOptions
 OPTS = ProverOptions(queries=8, blowup=8, grind=0, min_security_bits=0)
 
 
-def run_main(src, args=(), secrets=()):
+def run_main(src, args=(), secrets=(), pi_hook=None):
     prog = compile_entry(src, list(args))
     b = PublicInputsBuilder(prog)
     if args:
         b = b.with_main_args([VmArg.u64(a) for a in args])
     if secrets:
         b = b.with_secret_args([VmArg.u64(s) for s in secrets])
+    if pi_hook is not None:
+        b = pi_hook(prog, b)
     pi = b.build()
     return prog, pi, frontend.run_vm(prog, pi).value
 
@@ -144,11 +146,13 @@ E2E_CASES = [
     # hash2.rs / sponge.rs: sponge absorb/squeeze through hash2
     ("hash2", "(def (main a b) (= (hash2 a b) (hash2 a b)))",
      (11, 22), 1),
-    # merkle.rs: two-level path root computation
+    # merkle.rs: two-level path — MerkleStepLast binds the accumulated
+    # root to PublicInputs.merkle_root, which the caller must set
+    # (tests/merkle.rs:135); see _merkle_pi_hook below and the full
+    # depth/tamper matrix in tests/test_merkle.py
     ("merkle",
-     "(def (main l s1 s2) (= (merkle-verify l ((0 s1) (1 s2))) "
-     "(merkle-verify l ((0 s1) (1 s2)))))",
-     (5, 7, 9), 1),
+     "(def (main l s1 s2) (merkle-verify l ((0 s1) (1 s2))))",
+     (5, 7, 9), 0),
     # ram.rs + stack.rs: mixed memory ops
     ("ram_stack",
      "(def (main a b) (begin (store 1 a) (push b) "
@@ -165,10 +169,20 @@ E2E_CASES = [
 ]
 
 
+def _merkle_pi_hook(prog, b):
+    """Bind the expected root for the E2E 'merkle' case (leaf=5, path
+    (0 7)(1 9)) — merkle-verify enforces root equality in the AIR, so
+    the PI must carry the root the path actually hashes to."""
+    from zklisp_tpu.crypto.poseidon import merkle_root_from_path
+    return b.with_merkle_root(merkle_root_from_path(
+        prog.program_id, 5, [(0, 7), (1, 9)]))
+
+
 @pytest.mark.parametrize("name,src,args,expected",
                          E2E_CASES, ids=[c[0] for c in E2E_CASES])
 def test_op_e2e_prove_verify(name, src, args, expected):
-    prog, pi, value = run_main(src, args)
+    hook = _merkle_pi_hook if name == "merkle" else None
+    prog, pi, value = run_main(src, args, pi_hook=hook)
     assert value == expected
     prove_verify(prog, pi)
 
@@ -209,9 +223,16 @@ def test_secret_gadgets_e2e():
 
 
 def test_loop_e2e_prove_verify():
-    """loop_integration.rs tier: unrolled loop proves end to end."""
+    """loop_integration.rs tier: unrolled loop proves end to end.
+
+    recur rebinds SEQUENTIALLY (reference lower/iter.rs:196-216 —
+    "Compute next state values sequentially", each var rebound before
+    the next arg is lowered; confirmed by loop_integration.rs:44's
+    acc=10 expectation).  So here x:=y, then y:=(x+y) sees the NEW x:
+    y doubles each recur.  :max 8 runs 7 recurs (the last iteration
+    returns before recurring, iter.rs:184-190) -> x = 2^6 = 64."""
     src = ("(def (main a b) (loop :max 8 ((i 0) (x a) (y b)) x "
            "(recur (+ i 1) y (+ x y))))")
     prog, pi, value = run_main(src, (1, 1))
-    assert value == 34
+    assert value == 64
     prove_verify(prog, pi)

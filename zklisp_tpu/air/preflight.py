@@ -25,17 +25,58 @@ class PreflightViolation:
     detail: str = ""
 
 
+def constraint_identity(air: ZkLispAir, index: int) -> str:
+    """Module-resolved identity for a transition constraint index
+    (reference preflight.rs:73-528 reports the violating module, not a
+    bare index).  Returns e.g. 'merkle[5] (merkle #448, deg 3)'."""
+    cmap = debug_constraint_map(air)
+    if not (0 <= index < len(cmap)):
+        return f"#{index} (unknown)"
+    module, deg, _cycles = cmap[index]
+    # index within the module block
+    local = 0
+    for k in range(index):
+        if cmap[k][0] == module:
+            local += 1
+    return f"{module}[{local}] (#{index}, deg {deg})"
+
+
+def expected_poseidon_next(air: ZkLispAir, trace: TraceTable,
+                           row: int) -> Optional[List[int]]:
+    """The t=12 Poseidon round output the AIR expects at `row + 1`,
+    recomputed host-side from the current lanes — the reference
+    preflight's 'expected next state' detail (preflight.rs:73-528).
+    Only meaningful on active round rows; returns None elsewhere."""
+    pos = row % 32
+    if not (1 <= pos <= 27):        # rounds occupy level rows 1..27
+        return None
+    c = air.cols
+    if trace.get(c.pose_active, row) != 1:
+        return None
+    from ..field.f128 import P
+    j = pos - 1
+    s = [trace.get(c.lane_index(i), row) for i in range(12)]
+    s3 = [(v * v % P) * v % P for v in s]
+    rc = air.poseidon_rc[j]
+    mds = air.poseidon_mds
+    return [(sum(mds[i][k] * s3[k] for k in range(12)) + rc[i]) % P
+            for i in range(12)]
+
+
 def report_console(air: ZkLispAir, trace: TraceTable,
                    violations) -> str:
     """Rich console diagnostic (reference preflight.rs table report):
-    for each violation, the level/position, the constraint index, and a
-    snapshot of registers, lanes and RAM columns at the failing row."""
+    for each violation, the level/position, the module-resolved
+    constraint identity, and a snapshot of registers, lanes, RAM
+    columns and the expected Poseidon next-state at the failing row."""
     lines = []
     c = air.cols
     for v in violations:
         lvl, pos = divmod(v.row, 32)
+        ident = (constraint_identity(air, v.index)
+                 if v.kind == "transition" else f"assertion col {v.index}")
         lines.append(f"VIOLATION {v.kind} row={v.row} (level {lvl} "
-                     f"pos {pos}) index={v.index} value={v.value}")
+                     f"pos {pos}) constraint={ident} value={v.value}")
         row = trace.row(min(v.row, trace.length - 1))
         regs = " ".join(f"r{i}={row[c.r_index(i)]}" for i in range(8))
         lines.append(f"  regs: {regs}")
@@ -43,6 +84,15 @@ def report_console(air: ZkLispAir, trace: TraceTable,
         lines.append(f"  lanes[0..4): {lanes}")
         lines.append(f"  pc={row[c.pc]} pose_active={row[c.pose_active]} "
                      f"imm={row[c.imm]} eq_inv={row[c.eq_inv]}")
+        exp = expected_poseidon_next(air, trace, v.row)
+        if exp is not None:
+            got = [trace.get(c.lane_index(i),
+                             min(v.row + 1, trace.length - 1))
+                   for i in range(12)]
+            diffs = [i for i in range(12) if exp[i] != got[i]]
+            lines.append(f"  poseidon expected-next lanes[0..2): "
+                         f"{exp[0]} {exp[1]} (mismatched lanes: "
+                         f"{diffs if diffs else 'none'})")
         if hasattr(c, "ram_sorted"):
             lines.append(
                 f"  ram: sorted={row[c.ram_sorted]} "
@@ -59,12 +109,19 @@ def report_json(air: ZkLispAir, trace: TraceTable, violations) -> str:
         lvl, pos = divmod(v.row, 32)
         row = trace.row(min(v.row, trace.length - 1))
         c = air.cols
-        out.append({
+        rec = {
             "kind": v.kind, "row": v.row, "level": lvl, "pos": pos,
-            "index": v.index, "value": str(v.value),
+            "index": v.index,
+            "constraint": (constraint_identity(air, v.index)
+                           if v.kind == "transition" else None),
+            "value": str(v.value),
             "regs": [str(row[c.r_index(i)]) for i in range(8)],
             "pc": str(row[c.pc]),
-        })
+        }
+        exp = expected_poseidon_next(air, trace, v.row)
+        if exp is not None:
+            rec["poseidon_expected_next"] = [str(x) for x in exp]
+        out.append(rec)
     return json.dumps({"violations": out})
 
 
@@ -92,7 +149,8 @@ def run_preflight(air: ZkLispAir, trace: TraceTable,
             if v.v != 0:
                 violations.append(PreflightViolation(
                     "transition", row, i, v.v,
-                    f"constraint {i} nonzero at row {row}"))
+                    f"constraint {constraint_identity(air, i)} "
+                    f"nonzero at row {row}"))
                 if len(violations) >= max_violations:
                     return violations
     return violations

@@ -91,8 +91,34 @@ def validate_main_args_against_schema(program, public_args) -> None:
                     f"main arg #{pos}: expected {ty} value for type '{ty}'")
 
 
-def build_pi_for_program(program, public_args, secret_args) -> PublicInputs:
-    """cli/main.rs build_pi_for_program: Let-role args become main_args."""
+def parse_merkle_root(s: Optional[str]) -> Optional[bytes]:
+    """--merkle-root value: 0x-prefixed 32-byte hex (raw bytes32) or a
+    decimal field element (stored LE in bytes 0..16, the reference's
+    be_to_bytes32 layout, tests/merkle.rs:104-110)."""
+    if not s:
+        return None
+    if s.startswith("0x") or s.startswith("0X"):
+        raw = bytes.fromhex(s[2:])
+        if len(raw) != 32:
+            raise CliError("--merkle-root hex must be exactly 32 bytes")
+        return raw
+    try:
+        v = int(s)
+    except ValueError:
+        raise CliError("--merkle-root must be 0x<64 hex chars> or decimal")
+    if not (0 <= v < (1 << 128)):
+        raise CliError("--merkle-root out of field range")
+    return v.to_bytes(16, "little") + b"\x00" * 16
+
+
+def build_pi_for_program(program, public_args, secret_args,
+                         merkle_root: Optional[bytes] = None
+                         ) -> PublicInputs:
+    """cli/main.rs build_pi_for_program: Let-role args become main_args.
+
+    merkle_root goes beyond the reference CLI (which has no flag and
+    cannot prove multi-level merkle-verify programs): it binds the
+    expected root into PublicInputs.merkle_root (pi.rs:71)."""
     main_args = []
     schema = program.type_schemas.fns.get("main")
     if schema is not None:
@@ -101,11 +127,13 @@ def build_pi_for_program(program, public_args, secret_args) -> PublicInputs:
         for (role, ty), arg in zip(schema.args, public_args):
             if role == "let":
                 main_args.append(arg)
-    return (PublicInputsBuilder(program)
-            .with_public_args(public_args)
-            .with_main_args(main_args)
-            .with_secret_args(secret_args)
-            .build())
+    b = (PublicInputsBuilder(program)
+         .with_public_args(public_args)
+         .with_main_args(main_args)
+         .with_secret_args(secret_args))
+    if merkle_root is not None:
+        b = b.with_merkle_root(merkle_root)
+    return b.build()
 
 
 def _read_program(path: str, max_bytes: int) -> str:
@@ -135,7 +163,8 @@ def cmd_run(args, json_out: bool, max_bytes: int, pf: str,
     secret_vmargs = parse_secret_args(args.secrets)
     program = compile_entry(src, public_u64)
     validate_main_args_against_schema(program, public_vmargs)
-    pi = build_pi_for_program(program, public_vmargs, secret_vmargs)
+    pi = build_pi_for_program(program, public_vmargs, secret_vmargs,
+                              parse_merkle_root(args.merkle_root))
     if pf != frontend.PREFLIGHT_OFF:
         frontend.preflight(program, pi, _opts(args, security_bits), mode=pf)
     res = frontend.run_vm(program, pi)
@@ -165,7 +194,8 @@ def cmd_prove(args, json_out: bool, max_bytes: int, pf: str,
     secret_vmargs = parse_secret_args(args.secrets)
     program = compile_entry(src, public_u64)
     validate_main_args_against_schema(program, public_vmargs)
-    pi = build_pi_for_program(program, public_vmargs, secret_vmargs)
+    pi = build_pi_for_program(program, public_vmargs, secret_vmargs,
+                              parse_merkle_root(args.merkle_root))
     opts = _opts(args, security_bits)
     if pf != frontend.PREFLIGHT_OFF:
         frontend.preflight(program, pi, opts, mode=pf)
@@ -208,7 +238,8 @@ def cmd_verify(args, json_out: bool, max_bytes: int,
         blob = f.read()
     proof, rc_pi = agg.decode_artifact(blob)
 
-    pi = build_pi_for_program(program, public_vmargs, [])
+    pi = build_pi_for_program(program, public_vmargs, [],
+                              parse_merkle_root(args.merkle_root))
     if rc_pi.program_id != program.program_id:
         raise CliError("program_id mismatch between artifact and program")
     if rc_pi.program_commitment != program.program_id:
@@ -247,6 +278,11 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     def common(sp, with_secret=True):
         sp.add_argument("--arg", dest="args", action="append", default=[])
+        sp.add_argument("--merkle-root", dest="merkle_root", default=None,
+                        help="expected Merkle root bound into the PI "
+                             "(0x<64 hex> bytes32 or decimal field "
+                             "element); required for multi-level "
+                             "merkle-verify/load-ca programs")
         if with_secret:
             sp.add_argument("--secret", dest="secrets", action="append",
                             default=[])

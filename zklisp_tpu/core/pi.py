@@ -134,6 +134,18 @@ class PublicInputsBuilder:
         self.pi.feature_mask |= FM_VM
         return self
 
+    def with_merkle_root(self, root: Union[int, bytes]) -> "PublicInputsBuilder":
+        """Bind the expected Merkle root (pi.rs:71; tests/merkle.rs:135
+        be_to_bytes32 layout: field element LE in bytes 0..16, rest 0).
+
+        Accepts a field element int (the common case — e.g. the result
+        of crypto.poseidon.merkle_root_from_path) or raw 32 bytes."""
+        if isinstance(root, int):
+            root = int(root).to_bytes(16, "little") + b"\x00" * 16
+        assert len(root) == 32
+        self.pi.merkle_root = bytes(root)
+        return self
+
     def with_expect(self, expected: bytes) -> "PublicInputsBuilder":
         assert len(expected) == 32
         self.pi.vm_expected_bytes = bytes(expected)

@@ -216,6 +216,23 @@ def poseidon_hash_two_lanes(suite_id: bytes, left: int, right: int) -> int:
     return permute_12(state, suite)[0]
 
 
+def merkle_root_from_path(suite_id: bytes, leaf: int,
+                          path: Sequence[Tuple[int, int]]) -> int:
+    """Host-side expected Merkle root for a (dir, sib) path.
+
+    Mirrors the chained-step semantics the trace builder/AIR enforce
+    (reference tests/merkle.rs:127-129: h = H(left, right) per level
+    with left/right = dir-select(acc, sib)); callers bind the result
+    into PublicInputs.merkle_root (pi.rs:71) before proving."""
+    acc = leaf % P
+    for d, s in path:
+        if d not in (0, 1):
+            raise ValueError("merkle path dir must be 0/1")
+        left, right = (s, acc) if d else (acc, s)
+        acc = poseidon_hash_two_lanes(suite_id, left, right)
+    return acc
+
+
 def sponge_absorb(inputs: Sequence[int], suite_id: bytes) -> int:
     """One-level absorb (vm/trace/poseidon.rs sponge_ref): lanes 0..n from
     inputs, capacity = domain tags, single permutation, return lane 0."""

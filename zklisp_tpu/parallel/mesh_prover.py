@@ -123,6 +123,19 @@ class _SegPrep:
 # the wave prover
 # ---------------------------------------------------------------------------
 
+def _commit_row_chunk(N: int, S: int) -> int:
+    """Row chunk for the wave trace-commit leaf hash.
+
+    Shrinks with the wave width S so the whole wave's hash transient
+    stays near one serial segment's, floors at 4096 rows for dispatch
+    efficiency, and is always clamped to N itself: small configs
+    (e.g. the multichip dryrun's N=512) must slice within bounds."""
+    chunk = min(sd.ROW_CHUNK, N)
+    if S > 1:
+        chunk = min(N, max(4096, min(chunk, N // S)))
+    return chunk
+
+
 def _prove_wave(preps: List[_SegPrep], mesh,
                 wave_width: int = 0) -> List[StarkProof]:
     """Prove S structurally-identical segments as one vmapped wave."""
@@ -208,9 +221,7 @@ def _prove_wave(preps: List[_SegPrep], mesh,
     # whole-N chunk at S=8 is a 27 GB allocation the AOT compile
     # rejects).
     ps_main = opts.partition_size(w)
-    chunk = min(sd.ROW_CHUNK, N)
-    if S > 1:
-        chunk = max(4096, min(chunk, N // S))
+    chunk = _commit_row_chunk(N, S)
     commit_fn = _cached(("commit", w, N, chunk, ps_main, S),
                         lambda: jax.jit(jax.vmap(
                             sd._commit_cols_fn(w, N, chunk, ps_main))))
