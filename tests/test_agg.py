@@ -142,6 +142,61 @@ def test_chain_program_identity_mismatch_rejected(chain_bundle):
                 [(proof, digest, agg_pi), (proof, digest, second)], OPTS)
 
 
+def test_verify_chain_three_links_genuine():
+    """recursion_multi.rs:82-160 multi-link tier: a REAL 3-link chain.
+
+    Each link is a SEPARATE full prove+aggregate run of the program
+    (the reference pattern: links are successive batches, not splits
+    of one run's segments — prove_agg requires a complete contiguous
+    segment set per batch, agg/trace.rs:315-325).  The caller
+    assembles RecursionPublic claims whose initial boundary fields
+    repeat the previous link's finals (recursion_multi.rs:112-117),
+    and prev_digest carries the previous link's recursion digest."""
+    prog = mkprog([O.Const(0, 3), O.Const(1, 4), O.Add(2, 0, 1),
+                   O.End()])
+    pi = PublicInputsBuilder(prog).build()
+    from zklisp_tpu.prove.prover import prove_program
+
+    links = []
+    prev_digest = b"\x00" * 32
+    prev_pub = None
+    for _ in range(3):
+        steps = prove_program(prog, pi, OPTS)
+        agg_pi = agg.build_agg_public(steps)
+        agg_pi.pi_digest = pi.digest()
+        proof, digest = agg.recursion_prove(steps, agg_pi, OPTS)
+        rc_pub = agg.recursion_public_from(agg_pi, prev_digest)
+        rc_pub.prev_digest = prev_digest
+        if prev_pub is not None:
+            # DSL-layer chaining (recursion_multi.rs:112-117): this
+            # link claims to start from the previous link's finals
+            rc_pub.state_initial = prev_pub.state_final
+            rc_pub.ram_gp_unsorted_initial = prev_pub.ram_gp_unsorted_final
+            rc_pub.ram_gp_sorted_initial = prev_pub.ram_gp_sorted_final
+            rc_pub.rom_s_initial = prev_pub.rom_s_final
+        links.append((proof, digest, agg_pi, rc_pub))
+        prev_digest = digest
+        prev_pub = rc_pub
+    agg.verify_chain(links, OPTS)
+
+    # tampering the middle link's prev_digest is rejected
+    # (recursion_multi.rs:140-159)
+    bad_pub = copy.deepcopy(links[1][3])
+    bad_pub.prev_digest = bytes([3] * 32)
+    broken = [links[0], (links[1][0], links[1][1], links[1][2], bad_pub),
+              links[2]]
+    with pytest.raises(agg.AggError, match="prev_digest"):
+        agg.verify_chain(broken, OPTS)
+
+    # breaking boundary continuity is rejected
+    bad_pub2 = copy.deepcopy(links[2][3])
+    bad_pub2.state_initial = bytes([9] * 32)
+    with pytest.raises(agg.AggError, match="vm_state_initial"):
+        agg.verify_chain(
+            [links[0], links[1],
+             (links[2][0], links[2][1], links[2][2], bad_pub2)], OPTS)
+
+
 def test_children_root_order_invariance(chain_bundle):
     # children_root sorts leaves: permuting steps preserves the root
     prog, pi, *_ = chain_bundle

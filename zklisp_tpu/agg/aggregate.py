@@ -886,14 +886,75 @@ def prove_chain(program, pub_inputs, opts: ProverOptions):
 # chain verification (zk-lisp-proof/src/recursion.rs verify_chain)
 # ---------------------------------------------------------------------------
 
+@dataclass
+class RecursionPublic:
+    """Host-level chain claim, distinct from the proven AggAirPublicInputs
+    (recursion.rs:71-88).  The backend proof binds each link's own
+    boundary state; the chain caller assembles RecursionPublic values
+    whose initial fields repeat the PREVIOUS link's finals, and
+    verify_chain checks that continuity (recursion.rs:160-185)."""
+    suite_id: bytes = b"\x00" * 32
+    program_id: bytes = b"\x00" * 32
+    program_commitment: bytes = b"\x00" * 32
+    state_initial: bytes = b"\x00" * 32
+    state_final: bytes = b"\x00" * 32
+    ram_gp_unsorted_initial: bytes = b"\x00" * 32
+    ram_gp_unsorted_final: bytes = b"\x00" * 32
+    ram_gp_sorted_initial: bytes = b"\x00" * 32
+    ram_gp_sorted_final: bytes = b"\x00" * 32
+    rom_s_initial: tuple = (b"\x00" * 32,) * 3
+    rom_s_final: tuple = (b"\x00" * 32,) * 3
+    prev_digest: bytes = b"\x00" * 32
+    children_root: bytes = b"\x00" * 32
+    children_count: int = 0
+    children_ms: list = None
+    v_units_total: int = 0
+
+
+def recursion_public_from(agg_pi,
+                          prev_digest: bytes = b"\x00" * 32
+                          ) -> RecursionPublic:
+    """Backend RecursionPublicBuilder::build_public analog
+    (src/lib.rs:391-483): derive the host chain claim from a proven
+    link's AggAirPublicInputs."""
+    return RecursionPublic(
+        suite_id=agg_pi.suite_id,
+        program_id=agg_pi.program_id,
+        program_commitment=agg_pi.program_commitment,
+        state_initial=agg_pi.vm_state_initial,
+        state_final=agg_pi.vm_state_final,
+        ram_gp_unsorted_initial=agg_pi.ram_gp_unsorted_initial,
+        ram_gp_unsorted_final=agg_pi.ram_gp_unsorted_final,
+        ram_gp_sorted_initial=agg_pi.ram_gp_sorted_initial,
+        ram_gp_sorted_final=agg_pi.ram_gp_sorted_final,
+        rom_s_initial=tuple(agg_pi.rom_s_initial),
+        rom_s_final=tuple(agg_pi.rom_s_final),
+        prev_digest=prev_digest if any(prev_digest)
+        else agg_pi.prev_digest,
+        children_root=agg_pi.children_root,
+        children_count=agg_pi.children_count,
+        children_ms=list(agg_pi.children_ms),
+        v_units_total=agg_pi.v_units_total,
+    )
+
+
 def verify_chain(chain, opts: ProverOptions) -> None:
-    """chain: iterable of (proof, digest, agg_pi) links."""
+    """chain: iterable of links — either (proof, digest, agg_pi)
+    3-tuples (the RecursionPublic is derived from agg_pi, matching a
+    chain of consecutive aggregations of one program run) or the
+    reference's full 4-tuples (proof, digest, agg_pi, rc_pub) where
+    rc_pub is the caller-assembled RecursionPublic (recursion.rs:90)."""
     prev_pi = None
     prev_digest = None
     suite_id = program_id = program_commitment = None
     saw = False
-    for proof, digest, rc_pi in chain:
-        verify_agg(proof, rc_pi, opts.min_security_bits)
+    for link in chain:
+        if len(link) == 4:
+            proof, digest, backend_pi, rc_pi = link
+        else:
+            proof, digest, backend_pi = link
+            rc_pi = recursion_public_from(backend_pi)
+        verify_agg(proof, backend_pi, opts.min_security_bits)
         saw = True
         if suite_id is None:
             suite_id = rc_pi.suite_id
@@ -914,7 +975,7 @@ def verify_chain(chain, opts: ProverOptions) -> None:
             if rc_pi.prev_digest != prev_digest:
                 raise AggError(
                     "prev_digest must match previous link's digest")
-            if rc_pi.vm_state_initial != prev_pi.vm_state_final:
+            if rc_pi.state_initial != prev_pi.state_final:
                 raise AggError("vm_state_initial must chain")
             if rc_pi.ram_gp_unsorted_initial != \
                     prev_pi.ram_gp_unsorted_final:
