@@ -104,6 +104,31 @@ def test_recur_outside_loop():
         compile_str("(recur 1)")
 
 
+def test_gadget_constant_errors():
+    """gadgets_errors.rs tier: constant-argument gadget misuse is a
+    compile-time error with the reference's message."""
+    with pytest.raises(CompileError, match="constant not a bit"):
+        compile_str("(def (main) (assert-bit 2)) (main)")
+    with pytest.raises(CompileError, match="constant out of range"):
+        compile_str("(def (main) (assert-range 4294967296 32)) (main)")
+    with pytest.raises(CompileError, match="bits must be 32 or 64"):
+        compile_str("(def (main) (assert-range 5 12)) (main)")
+
+
+def test_def_call_wrong_arity_errors():
+    """let_and_def_errors.rs: wrong call arity fails at compile time."""
+    with pytest.raises(CompileError, match="expects 2"):
+        compile_str("(def (add2 a b) (+ a b))\n(add2 7)")
+    with pytest.raises(CompileError, match="expects 2"):
+        compile_str("(def (add2 a b) (+ a b))\n(add2 7 8 9)")
+
+
+def test_bytes32_max_len_error():
+    """bytes32_limits.rs: >32-byte hex literal rejected."""
+    with pytest.raises(CompileError, match="length > 32"):
+        compile_str('(hex-to-bytes32 "0x' + "11" * 33 + '")')
+
+
 def test_typed_fn_schema_checks():
     with pytest.raises(CompileError):
         compile_str("(typed-fn nosuch (u64) -> u64)")
