@@ -25,12 +25,34 @@ if os.environ.get("ZKL_FORCE_CPU"):
     jax.config.update("jax_platforms", "cpu")
 
 
-def fib_chain_source(n_ops_target: int) -> str:
-    """A loop program whose op count lands in (target/2, target]."""
-    # Each unrolled iteration of this loop body lowers to a fixed small
-    # number of ops; calibrate the iteration count by compiling probes.
+HERE = os.path.dirname(os.path.abspath(__file__))
+ROLLUP_ZLISP = os.path.join(HERE, "..", "examples", "rollup-bench.zlisp")
+
+
+def _calibrated_source(n_ops_target: int, src_of_k, args) -> tuple:
+    """Binary-search the largest k whose program stays <= target ops."""
     from zklisp_tpu.compiler import compile_entry
 
+    lo, hi, best = 1, n_ops_target, None
+    while lo <= hi:
+        mid = (lo + hi) // 2
+        try:
+            prog = compile_entry(src_of_k(mid), args)
+        except Exception:
+            hi = mid - 1
+            continue
+        n = len(prog.ops)
+        if n <= n_ops_target:
+            best = (mid, n)
+            lo = mid + 1
+        else:
+            hi = mid - 1
+    k, n = best
+    return src_of_k(k), k, n
+
+
+def fib_chain_source(n_ops_target: int) -> tuple:
+    """A loop program whose op count lands in (target/2, target]."""
     def src(k: int) -> str:
         return (
             "(def (main a b)\n"
@@ -39,21 +61,21 @@ def fib_chain_source(n_ops_target: int) -> str:
             "    (recur (+ i 1) y (+ x y))))\n"
         )
 
-    lo, hi = 1, n_ops_target
-    # ops grow monotonically with k; binary-search the largest k that
-    # stays <= target
-    best = None
-    while lo <= hi:
-        mid = (lo + hi) // 2
-        prog = compile_entry(src(mid), [1, 1])
-        n = len(prog.ops)
-        if n <= n_ops_target:
-            best = (mid, n)
-            lo = mid + 1
-        else:
-            hi = mid - 1
-    k, n = best
-    return src(k), k, n
+    return _calibrated_source(n_ops_target, src, [1, 1])
+
+
+def rollup_source(n_ops_target: int) -> tuple:
+    """examples/rollup-bench.zlisp with BATCH scaled to the target op
+    count — the BASELINE.md workload (RAM tx table + safe-arith debits
+    + sponge digest chain), NOT the lighter pure-ALU fib chain."""
+    import re
+
+    base = open(ROLLUP_ZLISP).read()
+
+    def src(k: int) -> str:
+        return re.sub(r"\(def BATCH \d+\)", f"(def BATCH {k})", base)
+
+    return _calibrated_source(n_ops_target, src, [])
 
 
 def main() -> None:
@@ -71,6 +93,11 @@ def main() -> None:
     ap.add_argument("--no-agg", action="store_true")
     ap.add_argument("--once", action="store_true",
                     help="skip the steady-state second round")
+    ap.add_argument("--workload", choices=("rollup", "fib"),
+                    default="rollup",
+                    help="rollup = examples/rollup-bench.zlisp (the "
+                         "BASELINE headline, RAM+sponge-heavy); fib = "
+                         "pure-ALU chain (lighter per-row ceiling)")
     args = ap.parse_args()
 
     from zklisp_tpu.compiler import compile_entry
@@ -82,17 +109,22 @@ def main() -> None:
 
     n_ops = args.rows // 32
     t0 = time.time()
-    src, k, nops = fib_chain_source(n_ops)
-    prog = compile_entry(src, [1, 1])
+    if args.workload == "rollup":
+        src, k, nops = rollup_source(n_ops)
+        main_args, vm_args = [], []
+    else:
+        src, k, nops = fib_chain_source(n_ops)
+        main_args, vm_args = [1, 1], [VmArg.u64(1), VmArg.u64(1)]
+    prog = compile_entry(src, main_args)
     t_compile = time.time() - t0
-    import math
     rows = (1 << max(0, (len(prog.ops) - 1).bit_length())) * 32
-    print(f"program: k={k} ops={nops} trace_rows={rows} "
-          f"(compile {t_compile:.2f}s)", flush=True)
+    print(f"program: workload={args.workload} k={k} ops={nops} "
+          f"trace_rows={rows} (compile {t_compile:.2f}s)", flush=True)
 
-    pi = (PublicInputsBuilder(prog)
-          .with_main_args([VmArg.u64(1), VmArg.u64(1)])
-          .build())
+    b = PublicInputsBuilder(prog)
+    if vm_args:
+        b = b.with_main_args(vm_args)
+    pi = b.build()
     opts = ProverOptions(queries=args.queries, blowup=args.blowup,
                          grind=args.grind,
                          min_security_bits=args.security_bits,
@@ -140,7 +172,8 @@ def main() -> None:
     print("INTERIM " + json.dumps({
         "metric": "proved_rows_per_sec_2e16_e2e",
         "value": round(cold, 1), "unit": "rows/s", "vs_baseline": 1.0,
-        "detail": {"rows": rows, "segments": len(steps),
+        "detail": {"workload": args.workload,
+                   "rows": rows, "segments": len(steps),
                    "cold_rows_per_sec": round(cold, 1),
                    "phase": "cold-only (steady round not finished)",
                    "trace_s": round(t_trace, 2),
@@ -176,6 +209,7 @@ def main() -> None:
         # (BASELINE.md); 1.0 is the placeholder denominator
         "vs_baseline": 1.0,
         "detail": {
+            "workload": args.workload,
             "rows": rows, "segments": len(steps),
             "cold_rows_per_sec": round(cold, 1),
             "trace_s": round(t_trace, 2), "prove_s": round(t_prove, 2),
