@@ -144,6 +144,28 @@ def _twiddles(n: int, inverse: bool) -> _np.ndarray:
     return _np.asarray(limb.from_ints(rows), dtype=_np.uint32)
 
 
+def _twiddles_device(n: int, inverse: bool, jnp):
+    """tw[j2, k1] = w_n^(j2*k1) built ON DEVICE.
+
+    The host table (_twiddles) baked as a jit constant is n x 32 B —
+    2 MB at n=65536 — and constants serialize into the MLIR text, which
+    pushed whole-prover-stage modules past 40 MB and crashed the
+    tunneled TPU's AOT compile helper.  Here only log2(n) scalar seeds
+    are constants: the half-table [w^0..w^(n/2-1)] grows by log-doubling
+    (ntt.powers_table) and w^e for e >= n/2 is -w^(e - n/2)."""
+    from . import ntt
+    n1, n2 = _split_n(n)
+    half = n // 2
+    half_tab = ntt.powers_table(n.bit_length() - 1, jnp, inverse=inverse)
+    e = (jnp.arange(n2, dtype=jnp.int32)[:, None]
+         * jnp.arange(n1, dtype=jnp.int32)[None, :])       # < n always
+    hi = (e >= half).reshape(-1)
+    idx = jnp.where(hi, e.reshape(-1) - half, e.reshape(-1))
+    tw = jnp.take(half_tab, idx, axis=0)
+    tw = jnp.where(hi[:, None], limb.neg(tw, jnp), tw)
+    return tw.reshape(n2, n1, limb.NLIMB)
+
+
 def ntt_four_step(x, jnp, inverse: bool = False, _scale: bool = True):
     """(..., n, 8) -> exact NTT/iNTT via MXU matmul stages.
 
@@ -155,7 +177,7 @@ def ntt_four_step(x, jnp, inverse: bool = False, _scale: bool = True):
     n = x.shape[-2]
     n1, n2 = _split_n(n)
     d1_lo, d1_hi = _dft_wmat(n1, inverse)
-    tw = jnp.asarray(_twiddles(n, inverse))
+    tw = _twiddles_device(n, inverse, jnp)
 
     # x[j] with j = j1*n2 + j2 -> (j1, j2); step 1 DFTs along j1:
     # A_T[j2, k1] = sum_j1 x[j1, j2] * w^(n2*j1*k1)  (D symmetric)

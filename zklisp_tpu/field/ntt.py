@@ -170,8 +170,22 @@ def _host_offset_powers(n: int, offset: int):
 
 
 def offset_powers(n: int, xp, offset: int = DEFAULT_COSET_OFFSET):
-    """Device limb array [offset^0 .. offset^(n-1)] (host-precomputed)."""
-    return xp.asarray(limb.from_ints(_host_offset_powers(n, offset)))
+    """Limb array [offset^0 .. offset^(n-1)].
+
+    On the JAX backend (and n a power of two) the table grows by
+    log-doubling from log2(n) scalar seeds — a host-precomputed table
+    would bake as an n x 32 B constant into every jitted module that
+    closes over it (2 MB at n=65536; the MLIR-text blowup from such
+    constants crashed the tunneled TPU's AOT compile helper)."""
+    if xp is _np or (n & (n - 1)) != 0:
+        return xp.asarray(limb.from_ints(_host_offset_powers(n, offset)))
+    p = xp.asarray(limb.ones((1,), _np))
+    ln = 1
+    while ln < n:
+        step = xp.asarray(limb.from_ints([pow(offset, ln, f128.P)]))
+        p = xp.concatenate([p, limb.mul(p, step, xp)], axis=0)
+        ln *= 2
+    return p
 
 
 def coset_evaluate(coeffs, blowup: int, xp,

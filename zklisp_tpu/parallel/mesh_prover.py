@@ -555,7 +555,24 @@ def default_wave_width(mesh, n: int, w: int, blowup: int,
     env = os.environ.get("ZKL_WAVE", "")
     if env:
         return max(int(env), 1)
-    budget = float(os.environ.get("ZKL_WAVE_BYTES", 10.5e9))
+    budget = os.environ.get("ZKL_WAVE_BYTES")
+    if budget:
+        budget = float(budget)
+    else:
+        # derive from the device's real HBM: the wave LDE output alone
+        # is W x w x N x 32 B and the e2e at W=8/N=65536 measured a
+        # RESOURCE_EXHAUSTED on a 16 GB chip, so size waves to ~40% of
+        # reported HBM (fallback 6.4e9 when the backend has no stats)
+        budget = 6.4e9
+        try:
+            import jax
+            stats = jax.local_devices()[0].memory_stats() or {}
+            limit = stats.get("bytes_limit") or stats.get(
+                "bytes_reservable_limit")
+            if limit:
+                budget = 0.4 * float(limit)
+        except Exception:
+            pass
     # per-segment: trace LDE (w,N,8) u32, ~equal-size commit-transpose
     # transient, quotient LDE + polys and workspace (~0.5x)
     per_seg = w * n * blowup * limb.NLIMB * 4 * 2.5

@@ -80,18 +80,17 @@ def _config_key(air: ZkLispAir, blowup: int):
 
 @lru_cache(maxsize=None)
 def _lde_polys_fn(n: int, blowup: int):
+    # NOTE: never pass host-precomputed powers tables here — inside jit
+    # they bake as N x 32 B MLIR constants (the 40 MB modules that
+    # crashed the tunneled TPU's AOT helper); ntt builds them on device
+    # from log2(N) scalar seeds instead.
     import jax
     jnp = _jnp()
-    N = n * blowup
-    pows_f = _np.asarray(ntt.powers_table(N.bit_length() - 1, _np))
-    pows_i = _np.asarray(ntt.powers_table(n.bit_length() - 1, _np,
-                                          inverse=True))
 
     def one(col):
         col = col.astype(jnp.uint32)
-        poly = ntt.intt(col, jnp, pows_inv=jnp.asarray(pows_i))
-        return poly, ntt.coset_evaluate(poly, blowup, jnp,
-                                        pows=jnp.asarray(pows_f))
+        poly = ntt.intt(col, jnp)
+        return poly, ntt.coset_evaluate(poly, blowup, jnp)
 
     return jax.jit(jax.vmap(one))
 
@@ -257,16 +256,13 @@ def _lde_cols_mapped_fn(n: int, blowup: int, n_chunks: int):
     it regardless of wave width."""
     import jax
     jnp = _jnp()
-    N = n * blowup
-    pows_f = _np.asarray(ntt.powers_table(N.bit_length() - 1, _np))
-    pows_i = _np.asarray(ntt.powers_table(n.bit_length() - 1, _np,
-                                          inverse=True))
 
     def one(col):
+        # powers tables build on device (log2(N) scalar seeds) — host
+        # tables would bake as multi-MB MLIR constants, see _lde_polys_fn
         col = col.astype(jnp.uint32)
-        poly = ntt.intt(col, jnp, pows_inv=jnp.asarray(pows_i))
-        return poly, ntt.coset_evaluate(poly, blowup, jnp,
-                                        pows=jnp.asarray(pows_f))
+        poly = ntt.intt(col, jnp)
+        return poly, ntt.coset_evaluate(poly, blowup, jnp)
 
     def fn(chunked):                      # (n_chunks, cc, n, 8)
         return jax.lax.map(jax.vmap(one), chunked)
@@ -382,35 +378,46 @@ def _quotient_fn(n: int, blowup: int, Q: int, ngc: int, ngs: int,
     import jax
     jnp = _jnp()
     N = n * blowup
-    pows_f = _np.asarray(ntt.powers_table(N.bit_length() - 1, _np))
-
-    def gsum(terms, ng):
-        # terms (ng, N, 8) -> sum over ng, one reduction, no transpose
-        return limb.sum_mod(terms, 0, jnp)
 
     def fn(comb, lde, cyc_idx, cyc_vals, cyc_divp, cyc_betas,
            sgl_idx, sgl_vals, sgl_div, sgl_betas, zinv):
         comp = limb.mul(comb, zinv, jnp)
+        # Boundary terms accumulate via lax.scan ONE GROUP AT A TIME:
+        # the vectorized form materializes the limb-mul's 512 B/element
+        # product transient for (n_groups x N) at once — 8 GB HBM at
+        # ngc=64, N=65536, wave 4 (measured RESOURCE_EXHAUSTED) — while
+        # the scan caps it at one group's N x 512 B.  Field addition is
+        # exact mod p, so the serialized sum is bit-identical.
         if ngc:
-            cols = lde[cyc_idx]                          # (ngc, N, 8)
-            numer = limb.sub(cols, cyc_vals[:, None], jnp)
-            resh = numer.reshape(ngc, N // dperiod, dperiod, limb.NLIMB)
             # fold beta into the (tiny) periodic divisor table first —
             # saves a full-domain limb mul per group
             divp_b = limb.mul(cyc_divp, cyc_betas[:, None], jnp)
-            scaled = limb.mul(resh, divp_b[:, None], jnp)
-            comp = limb.add(
-                comp, gsum(scaled.reshape(ngc, N, limb.NLIMB), ngc), jnp)
+
+            def cyc_body(acc, xs):
+                idx, val, dp = xs
+                numer = limb.sub(lde[idx], val[None], jnp)
+                resh = numer.reshape(N // dperiod, dperiod, limb.NLIMB)
+                term = limb.mul(resh, dp[None], jnp)
+                return limb.add(acc, term.reshape(N, limb.NLIMB),
+                                jnp), None
+
+            comp, _ = jax.lax.scan(cyc_body, comp,
+                                   (cyc_idx, cyc_vals, divp_b))
         if ngs:
-            cols = lde[sgl_idx]
-            numer = limb.sub(cols, sgl_vals[:, None], jnp)
-            scaled = limb.mul(limb.mul(numer, sgl_div, jnp),
-                              sgl_betas[:, None], jnp)
-            comp = limb.add(comp, gsum(scaled, ngs), jnp)
+            def sgl_body(acc, xs):
+                idx, val, dv, beta = xs
+                numer = limb.sub(lde[idx], val[None], jnp)
+                term = limb.mul(limb.mul(numer, dv, jnp), beta[None],
+                                jnp)
+                return limb.add(acc, term, jnp), None
+
+            comp, _ = jax.lax.scan(sgl_body, comp,
+                                   (sgl_idx, sgl_vals, sgl_div,
+                                    sgl_betas))
         coeffs = ntt.coset_interpolate(comp, blowup, jnp)
         q_polys = coeffs[:Q * n].reshape(Q, n, limb.NLIMB)
         q_lde = jax.vmap(lambda p_: ntt.coset_evaluate(
-            p_, blowup, jnp, pows=jnp.asarray(pows_f)))(q_polys)
+            p_, blowup, jnp))(q_polys)
         return q_polys, q_lde
 
     return jax.jit(fn)
