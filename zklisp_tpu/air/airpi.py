@@ -123,7 +123,9 @@ def build_air_pi_for_trace(pi: pi_mod.PublicInputs,
                            rom_acc: Tuple[int, int, int],
                            segment_cols: Optional[Columns],
                            segment_boundaries: Optional[SegmentBoundaries],
-                           trace: TraceTable) -> AirPublicInputs:
+                           trace: TraceTable,
+                           usage_override: Optional[Tuple[int, int]] = None
+                           ) -> AirPublicInputs:
     import copy
     pi = copy.copy(pi)
     if pi.feature_mask & pi_mod.FM_VM:
@@ -135,7 +137,16 @@ def build_air_pi_for_trace(pi: pi_mod.PublicInputs,
 
     cols = segment_cols or Columns.baseline()
     assert trace.width == cols.width()
-    vm_usage_mask, ram_delta_clk_bits = compute_vm_usage_mask(trace, cols)
+    if usage_override is not None:
+        # uniform-segment mode: the FULL trace's usage (a superset of
+        # any segment's) — extra gated constraints are trivially
+        # satisfied where the op never appears, and every segment of a
+        # program then shares one AIR structure (one set of compiled
+        # device-prover executables instead of one per usage profile)
+        vm_usage_mask, ram_delta_clk_bits = usage_override
+    else:
+        vm_usage_mask, ram_delta_clk_bits = compute_vm_usage_mask(trace,
+                                                                  cols)
 
     if segment_cols is not None:
         effective_mask = segment_feature_mask

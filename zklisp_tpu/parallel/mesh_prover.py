@@ -82,7 +82,8 @@ class _SegPrep:
                  suite_id: bytes, rom_acc) -> None:
         from ..prove import prover as pv
         self.index = index
-        eff_mask, seg_layout = pv._segment_layout(program, pub_inputs, seg)
+        eff_mask, seg_layout = pv._segment_layout(program, pub_inputs,
+                                                  seg, in_mesh=True)
         trace, state_in, state_out = tb.build_segment_trace_with_state(
             full_trace, seg, seg_layout, None)
         boundaries = segment_boundaries_from_full(full_trace, seg)
@@ -91,7 +92,8 @@ class _SegPrep:
         self.opts = base_opts.with_partitions(nparts, rate)
         self.air_pi = build_air_pi_for_trace(
             pub_inputs, eff_mask, rom_acc, seg_layout.cols, boundaries,
-            trace)
+            trace, usage_override=pv.uniform_usage_for(full_trace,
+                                                       in_mesh=True))
         self.air = ZkLispAir(trace.width, trace.length, self.air_pi)
         self.groups = group_assertions(self.air.get_assertions(),
                                        trace.length,

@@ -207,8 +207,41 @@ def _prove_segment_forked(i: int) -> bytes:
     return step.to_bytes()
 
 
+def _uniform_segments(in_mesh: bool = False) -> bool:
+    """Uniform-segment mode (device/mesh paths, default on): every
+    segment keeps the program-wide feature mask and the FULL trace's
+    usage mask, so all segments share one AIR structure — one set of
+    jit-compiled prover-stage executables and full waves instead of
+    one executable set per usage profile (the rollup workload's 16
+    segments otherwise split into 4 structure groups / 7 padded
+    waves).  The reference's per-segment trimming (prove.rs:1071-1107)
+    is a CPU optimization — fewer columns per proof — that inverts on
+    a jit-compiled device.  The mesh/wave prover always counts as a
+    device path (its tests run on virtual CPU devices without
+    ZKL_DEVICE set, and the wave-vs-serial byte-identity contract
+    requires both paths to agree).  Opt out: ZKL_UNIFORM_SEGMENTS=0."""
+    return ((in_mesh or _device_mode())
+            and os.environ.get("ZKL_UNIFORM_SEGMENTS", "") != "0")
+
+
+def uniform_usage_for(full_trace,
+                      in_mesh: bool = False) -> Optional[Tuple[int, int]]:
+    """(vm_usage_mask, ram_delta_clk_bits) of the FULL trace, cached on
+    the trace object; None when uniform mode is off or the trace does
+    not support it (streamed windows scan per segment)."""
+    if not _uniform_segments(in_mesh):
+        return None
+    if getattr(full_trace, "_uniform_usage", None) is None:
+        try:
+            full_trace._uniform_usage = compute_vm_usage_mask(
+                full_trace, Columns.baseline())
+        except AttributeError:
+            return None
+    return full_trace._uniform_usage
+
+
 def _segment_layout(program: Program, pub_inputs: pi_mod.PublicInputs,
-                    seg: tb.Segment):
+                    seg: tb.Segment, in_mesh: bool = False):
     """Effective feature mask + column layout for one segment.
 
     Factored out of prove_segment so the device path can slice segment
@@ -221,7 +254,8 @@ def _segment_layout(program: Program, pub_inputs: pi_mod.PublicInputs,
     base_mask = pub_inputs.feature_mask
     seg_mask = planner.compute_segment_feature_mask(pub_inputs,
                                                     seg_features)
-    use_seg_mask = seg_mask != 0 and seg_mask != base_mask
+    use_seg_mask = (seg_mask != 0 and seg_mask != base_mask
+                    and not _uniform_segments(in_mesh))
     eff_mask = seg_mask if use_seg_mask else base_mask
     fmap_vm = bool(eff_mask & pi_mod.FM_VM)
     rom_enabled = any(pub_inputs.program_id)
@@ -285,7 +319,7 @@ def prove_segment(suite_id: bytes, rom_acc: Tuple[int, int, int],
     with phase("air_pi"):
         air_pi = build_air_pi_for_trace(
             pub_inputs, eff_mask, rom_acc, seg_layout.cols, boundaries,
-            trace)
+            trace, usage_override=uniform_usage_for(full_trace))
         pi_len = len(air_pi.to_elements())
         air = ZkLispAir(trace.width, trace.length, air_pi)
 

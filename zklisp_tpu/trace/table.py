@@ -15,13 +15,16 @@ from ..field import limb
 
 
 class TraceTable:
-    __slots__ = ("width", "length", "cols", "_limbs16")
+    __slots__ = ("width", "length", "cols", "_limbs16", "_uniform_usage")
 
     def __init__(self, width: int, length: int) -> None:
         self.width = width
         self.length = length
         self.cols: List[List[int]] = [[0] * length for _ in range(width)]
         self._limbs16 = None
+        # cached (vm_usage_mask, ram_delta_clk_bits) of the FULL trace,
+        # filled lazily by the prover's uniform-segment mode
+        self._uniform_usage = None
 
     def get(self, col: int, row: int) -> int:
         return self.cols[col][row]
