@@ -41,3 +41,28 @@ def test_device_smoke_byte_identical():
     dev = prove_trace_device(trace, air, air_pi, opts)
     assert serialize_stark_proof(dev) == serialize_stark_proof(host)
     verify_trace(dev, air_pi)
+
+
+def test_device_smoke_blowup16_half_domain_composition():
+    """blowup=16 > ce_blowup: the device prover evaluates composition
+    on the blowup_c=Q sub-domain (half the LDE) — the proof must stay
+    byte-identical to the host prover's full-domain evaluation (the
+    quotient has degree < Q*n, so both determine the same polynomial)."""
+    from zklisp_tpu.prove.stark_device import prove_trace_device
+
+    prog = compile_entry("(def (main a b) (* (+ a b) a))", [5, 6])
+    pi = (PublicInputsBuilder(prog)
+          .with_main_args([VmArg.u64(5), VmArg.u64(6)]).build())
+    trace = tb.build_trace(prog, pi)
+    assert trace.length <= 256
+    rom_acc = tb.rom_acc_from_program(prog)
+    air_pi = build_air_pi_for_trace(pi, pi.feature_mask, rom_acc,
+                                    None, None, trace)
+    air = ZkLispAir(trace.width, trace.length, air_pi)
+    assert air.ce_blowup() < 16, "case must exercise the sub-domain"
+    opts = ProofOptions(num_queries=4, blowup=16, grinding_factor=0)
+
+    host = prove_trace(trace, air, air_pi, opts, np)
+    dev = prove_trace_device(trace, air, air_pi, opts)
+    assert serialize_stark_proof(dev) == serialize_stark_proof(host)
+    verify_trace(dev, air_pi)

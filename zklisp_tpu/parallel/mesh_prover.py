@@ -111,9 +111,15 @@ class _SegPrep:
 
     def structure_key(self) -> tuple:
         """Segments sharing this key share every stage executable AND
-        produce draws/constraints with identical structure."""
+        produce draws/constraints with identical structure.
+
+        suite_id is part of the key: the composition executables bake
+        the program-derived Poseidon round constants / MDS, so two
+        PROGRAMS with identical layout must not share them (all
+        segments of one program share the suite, so wave grouping is
+        unaffected)."""
         import dataclasses
-        return (self.w, self.n, self.opts,
+        return (self.w, self.n, self.opts, self.suite_id,
                 self.air_pi.vm_usage_mask, self.air_pi.ram_delta_clk_bits,
                 dataclasses.astuple(self.air.features),
                 self.air.rom_enabled,
@@ -246,10 +252,19 @@ def _prove_wave(preps: List[_SegPrep], mesh,
         coins.append(coin)
     ph.__exit__(None, None, None)
 
+    # Composition evaluates on the blowup_c = Q sub-domain (even LDE
+    # indices): the quotient's degree < Q*n makes the result — and the
+    # proof bytes — identical, at half the constraint-eval work when
+    # blowup=16 (see stark_device._quotient_fn).
+    blowup_c = Q if (0 < Q < blowup and blowup % Q == 0) else blowup
+    stride_c = blowup // blowup_c
+    trace_lde_c = (trace_lde if stride_c == 1
+                   else trace_lde[:, :, ::stride_c])
+
     # config-constant host tables + constraint bytecode (shared: the
     # structure key guarantees identical layout/groups)
     (per_p, p_last, zinv, cyc_pos, cyc_divp, sgl_pos, sgl_div,
-     dperiod) = sd._host_tables(p0.air, p0.groups, blowup)
+     dperiod) = sd._host_tables(p0.air, p0.groups, blowup_c)
     gates_p = jnp.asarray(per_p[1:1 + 27])
     p_last_dev = jnp.asarray(p_last)
     alphas_dev = put(_np.stack([limb.from_ints(a) for a in alphas_l]))
@@ -262,18 +277,18 @@ def _prove_wave(preps: List[_SegPrep], mesh,
         scan_fn = _cached(
             ("scan", skey, S),
             lambda: jax.jit(jax.vmap(
-                sd._scan_blocks_fn(p0.air, specs, blowup),
+                sd._scan_blocks_fn(p0.air, specs, blowup_c),
                 in_axes=(0, None, 0))))
-        acc = scan_fn(trace_lde, gates_p, alphas_dev)
+        acc = scan_fn(trace_lde_c, gates_p, alphas_dev)
     if prog_cvm.n_instr:
         cvm_fn = _cached(
             ("cvm", skey, S),
             lambda: jax.jit(jax.vmap(
                 lambda lde, al: cvm.execute(prog_cvm, lde,
                                             jnp.asarray(per_p),
-                                            p_last_dev, al, blowup),
+                                            p_last_dev, al, blowup_c),
                 in_axes=(0, 0))))
-        gen = cvm_fn(trace_lde, alphas_dev)
+        gen = cvm_fn(trace_lde_c, alphas_dev)
         acc = gen if acc is None else _cached(
             ("addS", skey, S),
             lambda: jax.jit(lambda a, b: limb.add(a, b, jnp)))(acc, gen)
@@ -299,19 +314,20 @@ def _prove_wave(preps: List[_SegPrep], mesh,
     if cyc:
         cyc_divp_a[:len(cyc)] = cyc_divp
     sgl_idx = _np.zeros(max(ngs, 1), dtype=_np.int32)
-    sgl_div_a = _np.zeros((max(ngs, 1), N, limb.NLIMB), dtype=_np.uint32)
+    sgl_div_a = _np.zeros((max(ngs, 1), n * blowup_c, limb.NLIMB),
+                          dtype=_np.uint32)
     if sgl:
         sgl_idx[:len(sgl)] = [g.column for g in sgl]
         sgl_div_a[:len(sgl)] = sgl_div
 
     quot_fn = _cached(
-        ("quot", n, blowup, Q, ngc, ngs, dperiod, S),
+        ("quot", n, blowup, Q, ngc, ngs, dperiod, S, blowup_c),
         lambda: jax.jit(jax.vmap(
-            sd._quotient_fn(n, blowup, Q, ngc, ngs, dperiod),
+            sd._quotient_fn(n, blowup, Q, ngc, ngs, dperiod, blowup_c),
             in_axes=(0, 0, None, 0, None, 0, None, 0, None, 0, None))))
     ph = phase("wave_quotient", S=S); ph.__enter__()
     q_polys, q_lde = quot_fn(
-        acc, trace_lde,
+        acc, trace_lde_c,
         jnp.asarray(cyc_idx),
         pad_vals_wave(lambda si, p: [p.groups[i].value for i in cyc_pos],
                       ngc),

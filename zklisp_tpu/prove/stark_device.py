@@ -346,10 +346,15 @@ def _record_cvm(air: ZkLispAir, n_periodic: int):
 
 
 def _scan_blocks_fn(air: ZkLispAir, specs, blowup: int):
-    """jit over the Poseidon/ROM scan blocks; cached on the structural
-    key only (layout + specs), reusable across programs."""
+    """jit over the Poseidon/ROM scan blocks; cached per (structure,
+    suite): the jitted closure bakes the AIR's Poseidon round
+    constants / MDS, which derive from the program id — two programs
+    with identical layout MUST NOT share this executable (a collision
+    here silently evaluates one program's constraints with the other
+    program's round constants)."""
     key = ("scan", air.trace_width, air.trace_len, blowup, specs,
-           dataclasses.astuple(air.features), air.rom_enabled)
+           dataclasses.astuple(air.features), air.rom_enabled,
+           air.pub.core.program_id)
     if key in _STAGE_CACHE:
         return _STAGE_CACHE[key]
     import jax
@@ -371,13 +376,23 @@ def _scan_blocks_fn(air: ZkLispAir, specs, blowup: int):
 
 @lru_cache(maxsize=None)
 def _quotient_fn(n: int, blowup: int, Q: int, ngc: int, ngs: int,
-                 dperiod: int):
+                 dperiod: int, blowup_c: int = 0):
     """Boundary terms + zerofier + quotient split + quotient LDE; group
     data is traced, so one compile serves every program with the same
-    (n, blowup, Q, group buckets)."""
+    (n, blowup, Q, group buckets).
+
+    blowup_c (default = blowup) is the COMPOSITION evaluation domain
+    blowup: the quotient polynomial has degree < Q*n (the capacity
+    invariant tests/test_deg.py enforces), so evaluating composition
+    on the blowup_c=Q sub-domain — the even-index subset of the full
+    LDE — determines it exactly and halves the constraint-eval work at
+    blowup 16.  comb/lde/divisor/zinv inputs must be sampled on that
+    sub-domain; q_polys (and therefore the proof bytes) are identical
+    to the full-domain evaluation."""
     import jax
     jnp = _jnp()
-    N = n * blowup
+    blowup_c = blowup_c or blowup
+    N = n * blowup_c
 
     def fn(comb, lde, cyc_idx, cyc_vals, cyc_divp, cyc_betas,
            sgl_idx, sgl_vals, sgl_div, sgl_betas, zinv):
@@ -414,7 +429,7 @@ def _quotient_fn(n: int, blowup: int, Q: int, ngc: int, ngs: int,
             comp, _ = jax.lax.scan(sgl_body, comp,
                                    (sgl_idx, sgl_vals, sgl_div,
                                     sgl_betas))
-        coeffs = ntt.coset_interpolate(comp, blowup, jnp)
+        coeffs = ntt.coset_interpolate(comp, blowup_c, jnp)
         q_polys = coeffs[:Q * n].reshape(Q, n, limb.NLIMB)
         q_lde = jax.vmap(lambda p_: ntt.coset_evaluate(
             p_, blowup, jnp))(q_polys)
@@ -736,9 +751,18 @@ def prove_trace_device(trace, air: ZkLispAir, air_pi,
         alphas = coin.draw_many(air.num_transition_constraints())
         betas = coin.draw_many(len(groups))
 
+    # Composition evaluates on the blowup_c = Q sub-domain (the even
+    # indices of the full LDE): the quotient has degree < Q*n, so Q*n
+    # points determine it exactly — at blowup 16 this halves the
+    # constraint-eval and boundary-term work with byte-identical output
+    # (see _quotient_fn).
+    blowup_c = Q if (0 < Q < blowup and blowup % Q == 0) else blowup
+    stride_c = blowup // blowup_c
+    trace_lde_c = (trace_lde if stride_c == 1
+                   else trace_lde[:, ::stride_c])
     with phase("host_tables"):
         (per_p, p_last, zinv, cyc_pos, cyc_divp, sgl_pos, sgl_div,
-         dperiod) = _host_tables(air, groups, blowup)
+         dperiod) = _host_tables(air, groups, blowup_c)
     cyc = [groups[i] for i in cyc_pos]
     sgl = [groups[i] for i in sgl_pos]
     gates_p = jnp.asarray(per_p[1:1 + 27])
@@ -750,13 +774,14 @@ def prove_trace_device(trace, air: ZkLispAir, air_pi,
         prog_cvm, specs = _record_cvm(air, per_p.shape[0] + 1)
     with phase("composition"):
         if specs:
-            acc_scan = _scan_blocks_fn(air, specs, blowup)(
-                trace_lde, gates_p, alphas_dev)
+            acc_scan = _scan_blocks_fn(air, specs, blowup_c)(
+                trace_lde_c, gates_p, alphas_dev)
         else:
             acc_scan = None
         if prog_cvm.n_instr:
-            acc_gen = cvm.execute(prog_cvm, trace_lde, jnp.asarray(per_p),
-                                  p_last_dev, alphas_dev, blowup)
+            acc_gen = cvm.execute(prog_cvm, trace_lde_c,
+                                  jnp.asarray(per_p),
+                                  p_last_dev, alphas_dev, blowup_c)
             comb = (acc_gen if acc_scan is None
                     else limb.add(acc_scan, acc_gen, jnp))
         else:
@@ -780,14 +805,16 @@ def prove_trace_device(trace, air: ZkLispAir, air_pi,
     if cyc:
         cyc_divp_a[:len(cyc)] = cyc_divp
     sgl_idx = _np.zeros(max(ngs, 1), dtype=_np.int32)
-    sgl_div_a = _np.zeros((max(ngs, 1), N, limb.NLIMB), dtype=_np.uint32)
+    sgl_div_a = _np.zeros((max(ngs, 1), n * blowup_c, limb.NLIMB),
+                          dtype=_np.uint32)
     if sgl:
         sgl_idx[:len(sgl)] = [g.column for g in sgl]
         sgl_div_a[:len(sgl)] = sgl_div
 
     with phase("quotient"):
-        q_polys, q_lde = _quotient_fn(n, blowup, Q, ngc, ngs, dperiod)(
-            comb, trace_lde,
+        q_polys, q_lde = _quotient_fn(n, blowup, Q, ngc, ngs, dperiod,
+                                      blowup_c)(
+            comb, trace_lde_c,
             jnp.asarray(cyc_idx), pad_vals([g.value for g in cyc], ngc),
             jnp.asarray(cyc_divp_a),
             pad_vals(cyc_betas, ngc),
