@@ -40,20 +40,21 @@ class TraceTable:
 
     def to_limbs(self, xp=np):
         """(width, length, 8) limb array for device consumption."""
-        return limb.from_ints([self.cols[c] for c in range(self.width)], xp)
+        arr = limb.from_int_cols(self.cols)
+        return xp.asarray(arr) if xp is not np else arr
 
     def to_limbs16(self) -> np.ndarray:
         """(width, length, 8) uint16 limb array, cached on the table.
 
         Converting ~1M Python ints per segment cost seconds; the full
-        trace converts once and segments numpy-slice it.  Callers must
+        trace converts once (through the per-column uint64 fast path —
+        limb.from_int_cols) and segments numpy-slice it.  Callers must
         not mutate the table after the first call (builders fill before
         the prover ever reads this).
         """
         if self._limbs16 is None:
-            self._limbs16 = np.asarray(
-                limb.from_ints([self.cols[c] for c in range(self.width)]),
-                dtype=np.uint16)
+            self._limbs16 = limb.from_int_cols(self.cols,
+                                               dtype=np.uint16)
         return self._limbs16
 
     def slice_rows(self, r_start: int, r_end: int,
