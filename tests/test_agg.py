@@ -197,6 +197,72 @@ def test_verify_chain_three_links_genuine():
              (links[2][0], links[2][1], links[2][2], bad_pub2)], OPTS)
 
 
+def test_tampered_agg_pi_field_matrix(chain_bundle):
+    """agg_basic.rs tamper matrix: every identity/profile field of the
+    aggregation PI participates in the agg FS seed (agg/pi.rs
+    to_elements) or a host-side constancy check, so flipping any one
+    must fail verification."""
+    _, _, proof, _, agg_pi = chain_bundle
+    tampers = {
+        "pi_digest": bytes([8] * 32),
+        "v_units_total": agg_pi.v_units_total + 1,
+        "children_count": agg_pi.children_count + 1,
+        "batch_id": bytes([3] * 32),
+        "ram_gp_unsorted_final": bytes([4] * 32),
+        "rom_s_final": tuple(bytes([i + 1] * 32) for i in range(3)),
+    }
+    for field_name, bad_val in tampers.items():
+        bad = copy.deepcopy(agg_pi)
+        setattr(bad, field_name, bad_val)
+        try:
+            agg.verify_agg(proof, bad)
+            accepted = True
+        except Exception:
+            accepted = False
+        assert not accepted, f"tampered {field_name} accepted"
+
+    # suite_id and children_ms are deliberately NOT in the agg FS seed
+    # (reference agg/pi.rs:175-217 omits them): suite constancy is a
+    # host-side chain check (test_chain_suite_id_mismatch_rejected) and
+    # children_ms is enforced against the children at proving time
+    for field_name, bad_val in (
+            ("suite_id", bytes([5] * 32)),
+            ("children_ms", [m + 1 for m in agg_pi.children_ms])):
+        bad = copy.deepcopy(agg_pi)
+        setattr(bad, field_name, bad_val)
+        agg.verify_agg(proof, bad)        # accepted, matching reference
+
+
+def test_children_ms_mismatch_rejected_at_proving(chain_bundle):
+    """agg/trace.rs per-child meta checks: children_ms that disagrees
+    with the actual children is rejected when building the agg trace."""
+    prog, pi, *_ = chain_bundle
+    from zklisp_tpu.prove.prover import prove_program
+    steps = prove_program(prog, pi, OPTS)
+    agg_pi = agg.build_agg_public(steps)
+    agg_pi.children_ms = [m + 1 for m in agg_pi.children_ms]
+    with pytest.raises((agg.AggError, AssertionError)):
+        agg.build_agg_trace(agg_pi, steps)
+
+
+def test_tampered_artifact_bytes_rejected(chain_bundle):
+    """Corrupting the encoded ZKLRC1 artifact must never verify: either
+    the codec rejects the blob or the decoded proof fails."""
+    _, _, proof, _, agg_pi = chain_bundle
+    blob = bytearray(agg.encode_artifact(proof, agg_pi))
+    # flip one byte in the proof body (skip the magic/header prefix)
+    for off in (len(blob) // 2, len(blob) - 3):
+        bad = bytearray(blob)
+        bad[off] ^= 0x40
+        try:
+            proof2, pi2 = agg.decode_artifact(bytes(bad))
+            agg.verify_agg(proof2, pi2)
+            accepted = True
+        except Exception:
+            accepted = False              # codec or verifier rejected
+        assert not accepted, f"corrupt byte {off} accepted"
+
+
 def test_children_root_order_invariance(chain_bundle):
     # children_root sorts leaves: permuting steps preserves the root
     prog, pi, *_ = chain_bundle
