@@ -126,6 +126,24 @@ class _SegPrep:
                 self.air.num_transition_constraints(),
                 tuple((g.column, g.offsets, g.step) for g in self.groups))
 
+    def exec_key(self) -> tuple:
+        """Executable-shape key: segments sharing this key can prove in
+        ONE wave even when their boundary assertion SETS differ (e.g.
+        segment 0's pc_init==0 pi_prog binding, air/zk_air.py), because
+        group indices/divisors/values enter the quotient stage as
+        per-segment vmapped data.  Only the bucketed group counts — the
+        executable's array shapes — must match."""
+        import dataclasses
+        from ..prove import stark_device as sd
+        n_cyc = sum(1 for g in self.groups if not g.is_single)
+        n_sgl = sum(1 for g in self.groups if g.is_single)
+        return (self.w, self.n, self.opts, self.suite_id,
+                self.air_pi.vm_usage_mask, self.air_pi.ram_delta_clk_bits,
+                dataclasses.astuple(self.air.features),
+                self.air.rom_enabled,
+                self.air.num_transition_constraints(),
+                sd._bucket(n_cyc), sd._bucket(n_sgl) if n_sgl else 0)
+
 
 # ---------------------------------------------------------------------------
 # the wave prover
@@ -169,7 +187,6 @@ def _prove_wave(preps: List[_SegPrep], mesh,
     blowup = opts.blowup
     N = n * blowup
     Q = p0.air.ce_blowup()
-    skey = p0.structure_key()
     shard = (NamedSharding(mesh, Pt("seg"))
              if mesh is not None and mesh.size > 1 and S % mesh.size == 0
              else None)
@@ -261,28 +278,33 @@ def _prove_wave(preps: List[_SegPrep], mesh,
     trace_lde_c = (trace_lde if stride_c == 1
                    else trace_lde[:, :, ::stride_c])
 
-    # config-constant host tables + constraint bytecode (shared: the
-    # structure key guarantees identical layout/groups)
-    (per_p, p_last, zinv, cyc_pos, cyc_divp, sgl_pos, sgl_div,
-     dperiod) = sd._host_tables(p0.air, p0.groups, blowup_c)
+    # host tables + constraint bytecode.  The layout-derived parts
+    # (periodic selectors, p_last, zerofier inverse, dperiod) are
+    # identical across the wave (exec_key guarantees it); the
+    # group-derived divisor tables are PER SEGMENT — boundary assertion
+    # sets may differ inside a wave (e.g. segment 0's pi_prog binding)
+    # and enter the quotient stage as vmapped data.
+    tabs = [sd._host_tables(p.air, p.groups, blowup_c) for p in preps]
+    (per_p, p_last, zinv, _, _, _, _, dperiod) = tabs[0]
     gates_p = jnp.asarray(per_p[1:1 + 27])
     p_last_dev = jnp.asarray(p_last)
     alphas_dev = put(_np.stack([limb.from_ints(a) for a in alphas_l]))
     prog_cvm, specs = sd._record_cvm(p0.air, per_p.shape[0] + 1)
+    ekey = p0.exec_key()
 
     # stage 3: composition
     ph = phase("wave_composition", S=S); ph.__enter__()
     acc = None
     if specs:
         scan_fn = _cached(
-            ("scan", skey, S),
+            ("scan", ekey, S),
             lambda: jax.jit(jax.vmap(
                 sd._scan_blocks_fn(p0.air, specs, blowup_c),
                 in_axes=(0, None, 0))))
         acc = scan_fn(trace_lde_c, gates_p, alphas_dev)
     if prog_cvm.n_instr:
         cvm_fn = _cached(
-            ("cvm", skey, S),
+            ("cvm", ekey, S),
             lambda: jax.jit(jax.vmap(
                 lambda lde, al: cvm.execute(prog_cvm, lde,
                                             jnp.asarray(per_p),
@@ -290,56 +312,57 @@ def _prove_wave(preps: List[_SegPrep], mesh,
                 in_axes=(0, 0))))
         gen = cvm_fn(trace_lde_c, alphas_dev)
         acc = gen if acc is None else _cached(
-            ("addS", skey, S),
+            ("addS", ekey, S),
             lambda: jax.jit(lambda a, b: limb.add(a, b, jnp)))(acc, gen)
 
     jax.block_until_ready(acc); ph.__exit__(None, None, None)
 
-    # boundary + quotient (group values/betas differ per segment)
-    cyc = [p0.groups[i] for i in cyc_pos]
-    sgl = [p0.groups[i] for i in sgl_pos]
-    ngc, ngs = sd._bucket(len(cyc)), (sd._bucket(len(sgl)) if sgl else 0)
+    # boundary + quotient: group indices / divisors / values / betas
+    # are PER-SEGMENT vmapped data (pad slots have beta=0 so their
+    # contribution vanishes); only the bucketed counts shape the
+    # executable.
+    ngc = sd._bucket(max(len(t[3]) for t in tabs))
+    any_sgl = any(len(t[5]) for t in tabs)
+    ngs = sd._bucket(max(len(t[5]) for t in tabs)) if any_sgl else 0
 
-    def pad_vals_wave(get_ints, nb):
-        out = _np.zeros((S, nb, limb.NLIMB), dtype=_np.uint32)
-        for si, p in enumerate(preps):
-            ints = get_ints(si, p)
-            if ints:
-                out[si, :len(ints)] = limb.from_ints(ints)
-        return put(out)
-
-    cyc_idx = _np.zeros(ngc, dtype=_np.int32)
-    cyc_idx[:len(cyc)] = [g.column for g in cyc]
-    cyc_divp_a = _np.zeros((ngc, dperiod, limb.NLIMB), dtype=_np.uint32)
-    if cyc:
-        cyc_divp_a[:len(cyc)] = cyc_divp
-    sgl_idx = _np.zeros(max(ngs, 1), dtype=_np.int32)
-    sgl_div_a = _np.zeros((max(ngs, 1), n * blowup_c, limb.NLIMB),
+    cyc_idx = _np.zeros((S, ngc), dtype=_np.int32)
+    cyc_divp_a = _np.zeros((S, ngc, dperiod, limb.NLIMB),
+                           dtype=_np.uint32)
+    cyc_vals = _np.zeros((S, ngc, limb.NLIMB), dtype=_np.uint32)
+    cyc_betas = _np.zeros((S, ngc, limb.NLIMB), dtype=_np.uint32)
+    sgl_idx = _np.zeros((S, max(ngs, 1)), dtype=_np.int32)
+    sgl_div_a = _np.zeros((S, max(ngs, 1), n * blowup_c, limb.NLIMB),
                           dtype=_np.uint32)
-    if sgl:
-        sgl_idx[:len(sgl)] = [g.column for g in sgl]
-        sgl_div_a[:len(sgl)] = sgl_div
+    sgl_vals = _np.zeros((S, max(ngs, 1), limb.NLIMB), dtype=_np.uint32)
+    sgl_betas = _np.zeros((S, max(ngs, 1), limb.NLIMB), dtype=_np.uint32)
+    for si, (p, t) in enumerate(zip(preps, tabs)):
+        (_, _, _, cyc_pos, cyc_divp, sgl_pos, sgl_div, _) = t
+        nc, ns = len(cyc_pos), len(sgl_pos)
+        if nc:
+            cyc_idx[si, :nc] = [p.groups[i].column for i in cyc_pos]
+            cyc_divp_a[si, :nc] = cyc_divp
+            cyc_vals[si, :nc] = limb.from_ints(
+                [p.groups[i].value for i in cyc_pos])
+            cyc_betas[si, :nc] = limb.from_ints(
+                [betas_l[si][i] for i in cyc_pos])
+        if ns:
+            sgl_idx[si, :ns] = [p.groups[i].column for i in sgl_pos]
+            sgl_div_a[si, :ns] = sgl_div
+            sgl_vals[si, :ns] = limb.from_ints(
+                [p.groups[i].value for i in sgl_pos])
+            sgl_betas[si, :ns] = limb.from_ints(
+                [betas_l[si][i] for i in sgl_pos])
 
     quot_fn = _cached(
-        ("quot", n, blowup, Q, ngc, ngs, dperiod, S, blowup_c),
+        ("quotv2", n, blowup, Q, ngc, ngs, dperiod, S, blowup_c),
         lambda: jax.jit(jax.vmap(
             sd._quotient_fn(n, blowup, Q, ngc, ngs, dperiod, blowup_c),
-            in_axes=(0, 0, None, 0, None, 0, None, 0, None, 0, None))))
+            in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, None))))
     ph = phase("wave_quotient", S=S); ph.__enter__()
     q_polys, q_lde = quot_fn(
         acc, trace_lde_c,
-        jnp.asarray(cyc_idx),
-        pad_vals_wave(lambda si, p: [p.groups[i].value for i in cyc_pos],
-                      ngc),
-        jnp.asarray(cyc_divp_a),
-        pad_vals_wave(lambda si, p: [betas_l[si][i] for i in cyc_pos],
-                      ngc),
-        jnp.asarray(sgl_idx),
-        pad_vals_wave(lambda si, p: [p.groups[i].value for i in sgl_pos],
-                      max(ngs, 1)),
-        jnp.asarray(sgl_div_a),
-        pad_vals_wave(lambda si, p: [betas_l[si][i] for i in sgl_pos],
-                      max(ngs, 1)),
+        put(cyc_idx), put(cyc_vals), put(cyc_divp_a), put(cyc_betas),
+        put(sgl_idx), put(sgl_vals), put(sgl_div_a), put(sgl_betas),
         jnp.asarray(zinv))
     jax.block_until_ready(q_lde); ph.__exit__(None, None, None)
 
@@ -641,7 +664,7 @@ def prove_program_mesh(program: Program, pub_inputs: pi_mod.PublicInputs,
     waves: List[List[_SegPrep]] = []
     by_key: dict = {}
     for p in preps:
-        by_key.setdefault(p.structure_key(), []).append(p)
+        by_key.setdefault(p.exec_key(), []).append(p)
     W = wave or default_wave_width(mesh, preps[0].n, preps[0].w,
                                    base_opts.blowup, n_seg)
     for key in by_key:
