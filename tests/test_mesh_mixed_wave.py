@@ -83,3 +83,48 @@ def test_exec_key_groups_all_segments(program_pi):
              for i, s in enumerate(segs)]
     assert len({p.exec_key() for p in preps}) == 1
     assert len({p.structure_key() for p in preps}) >= 2
+
+
+def test_wave_grind_batched_byte_identical(program_pi):
+    """grind>0 through the wave path: the batched multi-seed PoW scan
+    (RandomCoin.grind_many, one dispatch per nonce sweep for the whole
+    wave) must yield the same smallest nonce per segment as the serial
+    per-coin grind — proof bytes identical to the serial device path."""
+    from zklisp_tpu.parallel.mesh_prover import (default_mesh,
+                                                 prove_program_mesh)
+    prog, pi = program_pi
+    opts_g = ProverOptions(queries=4, blowup=8, grind=6,
+                           min_security_bits=0, max_segment_rows=64)
+
+    os.environ["ZKL_DEVICE"] = "jax"
+    os.environ["ZKL_WAVE"] = "0"
+    try:
+        serial = prover.prove_program(prog, pi, opts_g)
+    finally:
+        del os.environ["ZKL_DEVICE"]
+        del os.environ["ZKL_WAVE"]
+
+    os.environ["ZKL_DEVICE"] = "jax"
+    try:
+        steps = prove_program_mesh(prog, pi, opts_g,
+                                   mesh=default_mesh(1), wave=4)
+    finally:
+        del os.environ["ZKL_DEVICE"]
+    for wave_s, single_s in zip(steps, serial):
+        assert wave_s.to_bytes() == single_s.to_bytes()
+
+
+def test_grind_many_matches_scalar():
+    """grind_many == per-coin grind for a batch of distinct seeds."""
+    import os as _os
+
+    from zklisp_tpu.prove.coin import RandomCoin
+
+    coins = [RandomCoin([i + 1, 7 * i + 3]) for i in range(4)]
+    ref = [RandomCoin([i + 1, 7 * i + 3]).grind(8) for i in range(4)]
+    _os.environ["ZKL_DEVICE"] = "jax"
+    try:
+        got = RandomCoin.grind_many(coins, 8)
+    finally:
+        del _os.environ["ZKL_DEVICE"]
+    assert got == ref

@@ -162,34 +162,63 @@ def _commit_row_chunk(N: int, S: int) -> int:
     return chunk
 
 
+def _pad_wave(preps: List[_SegPrep], mesh, wave_width: int):
+    """Pad a wave to the target width (pad slots repeat the last
+    segment; their device work is discarded — host assembly only walks
+    real segments).  Shared by _prove_wave and the upload prefetcher so
+    the staged array's shape always matches the executable's."""
+    W = max(mesh.size if mesh is not None else 1, 1, wave_width)
+    S_real = len(preps)
+    return list(preps) + [preps[-1]] * (W - S_real if S_real < W else 0)
+
+
+def _wave_shard(mesh, S: int):
+    from jax.sharding import NamedSharding, PartitionSpec as Pt
+    return (NamedSharding(mesh, Pt("seg"))
+            if mesh is not None and mesh.size > 1 and S % mesh.size == 0
+            else None)
+
+
+def _stage_wave_cols(preps: List[_SegPrep], mesh, wave_width: int):
+    """Begin the wave's host->device column upload asynchronously.
+
+    device_put returns immediately; the transfer overlaps the PREVIOUS
+    wave's device compute, hiding the ~13 MB/segment tunnel transfer
+    that otherwise serializes into wave_lde (measured 2.4-7.6 s at S=4
+    on the tunneled chip)."""
+    import jax
+    import jax.numpy as jnp
+
+    preps = _pad_wave(preps, mesh, wave_width)
+    arr = _np.stack([p.limbs16 for p in preps])
+    shard = _wave_shard(mesh, len(preps))
+    a = jnp.asarray(arr)
+    return jax.device_put(a, shard) if shard is not None else a
+
+
 def _prove_wave(preps: List[_SegPrep], mesh,
-                wave_width: int = 0) -> List[StarkProof]:
+                wave_width: int = 0,
+                staged_cols=None) -> List[StarkProof]:
     """Prove S structurally-identical segments as one vmapped wave."""
     import jax
     import jax.numpy as jnp
-    from jax.sharding import NamedSharding, PartitionSpec as Pt
 
     from ..utils.tracing import phase
 
     S_real = len(preps)
     # pad the wave to the target width: sharding needs the segment axis
     # divisible by the mesh, and padding keeps ONE executable shape per
-    # structure group (pad slots repeat the last segment; their device
-    # work is discarded — host assembly below only walks real segments).
-    # wave_width > mesh.size batches several segments PER DEVICE: on a
-    # single high-latency (tunneled) chip this divides the per-stage
-    # dispatch count by the wave width.
-    W = max(mesh.size if mesh is not None else 1, 1, wave_width)
-    preps = list(preps) + [preps[-1]] * (W - S_real if S_real < W else 0)
+    # structure group.  wave_width > mesh.size batches several segments
+    # PER DEVICE: on a single high-latency (tunneled) chip this divides
+    # the per-stage dispatch count by the wave width.
+    preps = _pad_wave(preps, mesh, wave_width)
     S = len(preps)
     p0 = preps[0]
     n, w, opts = p0.n, p0.w, p0.opts
     blowup = opts.blowup
     N = n * blowup
     Q = p0.air.ce_blowup()
-    shard = (NamedSharding(mesh, Pt("seg"))
-             if mesh is not None and mesh.size > 1 and S % mesh.size == 0
-             else None)
+    shard = _wave_shard(mesh, S)
 
     def put(arr):
         a = jnp.asarray(arr)
@@ -198,7 +227,8 @@ def _prove_wave(preps: List[_SegPrep], mesh,
     # stage 1: LDE (per-segment columns batched over the wave; huge
     # single-segment waves go through the mesh-sharded four-step NTT)
     ph = phase("wave_lde", S=S, n=n); ph.__enter__()
-    cols16 = put(_np.stack([p.limbs16 for p in preps]))
+    cols16 = (staged_cols if staged_cols is not None
+              else put(_np.stack([p.limbs16 for p in preps])))
     ntt_min = int(os.environ.get("ZKL_MESH_NTT_MIN", str(1 << 20)))
     if (S == 1 and mesh is not None and mesh.size > 1 and N >= ntt_min):
         from .ntt_mesh import lde_columns_sharded
@@ -487,44 +517,18 @@ def _prove_wave(preps: List[_SegPrep], mesh,
 
     rem_host = _np.asarray(final_layer)
     ph = phase("wave_assembly", S=S); ph.__enter__()
-    proofs: List[StarkProof] = []
-    for i, p in enumerate(preps[:S_real]):
-        coin = coins[i]
-        rem_coeffs = ntt.coset_interpolate(rem_host[i], 1, _np)
-        rem_ints = [int(v) for v in limb.to_ints(rem_coeffs)]
-        max_deg = opts.fri_remainder_max_degree
-        assert all(v == 0 for v in rem_ints[max_deg + 1:]), \
-            "FRI remainder degree too high"
-        fri_remainder = list(reversed(rem_ints[:max_deg + 1]))
+    nq_pad = opts.num_queries
 
-        pow_nonce = coin.grind(opts.grinding_factor)
-        positions = sorted(set(coin.draw_integers(
-            opts.num_queries, N, pow_nonce)))
+    # (a) PoW grind: all real segments' independent searches in one
+    #     device dispatch per nonce sweep (RandomCoin.grind_many)
+    nonces = RandomCoin.grind_many(coins[:S_real], opts.grinding_factor)
 
-        nq_pad = opts.num_queries
-        pos_pad = (list(positions)
-                   + [positions[-1]] * (nq_pad - len(positions)))
-        idx_dev = jnp.asarray(_np.asarray(pos_pad, dtype=_np.int32))
-        t_rows = _np.asarray(
-            sd._gather_rows_fn(w, nq_pad)(trace_lde[i], idx_dev))
-        q_rows = _np.asarray(
-            sd._gather_rows_fn(Q, nq_pad)(q_lde[i], idx_dev))
-
-        t_comm = sd._DevCommitment(tuple(lv[i] for lv in t_levels),
-                                   root_fe=t_roots[i])
-        c_comm = sd._DevCommitment(tuple(lv[i] for lv in c_levels),
-                                   root_fe=c_roots[i])
-        tc_paths = sd.open_paths_multi(
-            [t_comm, c_comm], [list(positions), list(positions)], nq_pad)
-        trace_open = QueryOpenings(
-            [[int(v) for v in limb.to_ints(t_rows[j])]
-             for j in range(len(positions))], tc_paths[0],
-            multiproof.compress(positions, tc_paths[0]))
-        constraint_open = QueryOpenings(
-            [[int(v) for v in limb.to_ints(q_rows[j])]
-             for j in range(len(positions))], tc_paths[1],
-            multiproof.compress(positions, tc_paths[1]))
-
+    # (b) query positions (host FS draws) + folded FRI positions
+    positions_l, foldeds_l = [], []
+    for i in range(S_real):
+        positions = sorted(set(coins[i].draw_integers(
+            opts.num_queries, N, nonces[i])))
+        positions_l.append(positions)
         foldeds = []
         pos_d, size_d = positions, N
         for d in range(num_layers):
@@ -536,30 +540,101 @@ def _prove_wave(preps: List[_SegPrep], mesh,
                     folded.append(m)
             foldeds.append((folded, half))
             pos_d, size_d = folded, half
-        fri_open: List[FriLayerOpenings] = []
-        if num_layers:
-            idxs = []
-            for folded, half in foldeds:
+        foldeds_l.append(foldeds)
+
+    # (c) ONE vmapped gather over the wave for trace + quotient query
+    #     rows (pad slots repeat the last real segment's positions)
+    pos_mat = _np.stack(
+        [_np.asarray(positions_l[min(i, S_real - 1)]
+                     + [positions_l[min(i, S_real - 1)][-1]]
+                     * (nq_pad - len(positions_l[min(i, S_real - 1)])),
+                     dtype=_np.int32) for i in range(S)])
+    idx_dev = jnp.asarray(pos_mat)
+    gat_t = _cached(("gatherS", w, nq_pad, S),
+                    lambda: jax.jit(jax.vmap(
+                        lambda a, ix: jnp.transpose(a[:, ix],
+                                                    (1, 0, 2)))))
+    gat_q = _cached(("gatherS", Q, nq_pad, S),
+                    lambda: jax.jit(jax.vmap(
+                        lambda a, ix: jnp.transpose(a[:, ix],
+                                                    (1, 0, 2)))))
+    t_rows_all = _np.asarray(gat_t(trace_lde, idx_dev))
+    q_rows_all = _np.asarray(gat_q(q_lde, idx_dev))
+
+    # (d) ONE sibling-path gather for every segment's trace+constraint
+    #     commitments (2*S_real commitments, shared shapes)
+    tc_comms, tc_pos = [], []
+    for i in range(S_real):
+        tc_comms.append(sd._DevCommitment(
+            tuple(lv[i] for lv in t_levels), root_fe=t_roots[i]))
+        tc_comms.append(sd._DevCommitment(
+            tuple(lv[i] for lv in c_levels), root_fe=c_roots[i]))
+        tc_pos += [list(positions_l[i]), list(positions_l[i])]
+    tc_paths_all = sd.open_paths_multi(tc_comms, tc_pos, nq_pad)
+
+    # (e) ONE value gather + ONE sibling-path gather for every
+    #     segment's FRI layers
+    fri_vals_l: List[List[int]] = [[] for _ in range(S_real)]
+    fri_paths_l: List[List] = [[] for _ in range(S_real)]
+    if num_layers:
+        idxs_all = []
+        for i in range(S_real):
+            for folded, half in foldeds_l[i]:
                 fold_pad = folded + [folded[-1]] * (nq_pad - len(folded))
-                idxs.append(_np.asarray(
+                idxs_all.append(_np.asarray(
                     fold_pad + [half + m for m in fold_pad],
                     dtype=_np.int32))
-            vals_flat = limb.to_ints(_np.asarray(
-                sd._fri_vals_fn(tuple(v.shape[0]
-                                      for v in fri_layers_w[i]))(
-                    tuple(fri_layers_w[i]),
-                    jnp.asarray(_np.stack(idxs)))))
-            all_paths = sd.open_paths_multi(
-                fri_comms_w[i], [f for f, _ in foldeds], nq_pad)
-            for d, (folded, half) in enumerate(foldeds):
-                nf = len(folded)
-                base = d * 2 * nq_pad
-                pairs = [(int(vals_flat[base + j]),
-                          int(vals_flat[base + nq_pad + j]))
-                         for j in range(nf)]
-                fri_open.append(FriLayerOpenings(
-                    pairs, all_paths[d],
-                    multiproof.compress(folded, all_paths[d])))
+        layer_sizes = tuple(v.shape[0] for v in fri_layers_w[0])
+        flat_layers = tuple(fri_layers_w[i][d]
+                            for i in range(S_real)
+                            for d in range(num_layers))
+        vals_flat = limb.to_ints(_np.asarray(
+            sd._fri_vals_fn(layer_sizes * S_real)(
+                flat_layers, jnp.asarray(_np.stack(idxs_all)))))
+        fri_comms_flat = [c for i in range(S_real)
+                          for c in fri_comms_w[i]]
+        fri_pos_flat = [f for i in range(S_real)
+                        for f, _ in foldeds_l[i]]
+        paths_flat = sd.open_paths_multi(fri_comms_flat, fri_pos_flat,
+                                         nq_pad)
+        for i in range(S_real):
+            base_i = i * num_layers
+            fri_vals_l[i] = [
+                vals_flat[(base_i + d) * 2 * nq_pad:
+                          (base_i + d + 1) * 2 * nq_pad]
+                for d in range(num_layers)]
+            fri_paths_l[i] = paths_flat[base_i:base_i + num_layers]
+
+    # (f) pure-host proof assembly per real segment
+    proofs: List[StarkProof] = []
+    for i in range(S_real):
+        positions = positions_l[i]
+        rem_coeffs = ntt.coset_interpolate(rem_host[i], 1, _np)
+        rem_ints = [int(v) for v in limb.to_ints(rem_coeffs)]
+        max_deg = opts.fri_remainder_max_degree
+        assert all(v == 0 for v in rem_ints[max_deg + 1:]), \
+            "FRI remainder degree too high"
+        fri_remainder = list(reversed(rem_ints[:max_deg + 1]))
+
+        tc_paths = tc_paths_all[2 * i:2 * i + 2]
+        trace_open = QueryOpenings(
+            [[int(v) for v in limb.to_ints(t_rows_all[i][j])]
+             for j in range(len(positions))], tc_paths[0],
+            multiproof.compress(positions, tc_paths[0]))
+        constraint_open = QueryOpenings(
+            [[int(v) for v in limb.to_ints(q_rows_all[i][j])]
+             for j in range(len(positions))], tc_paths[1],
+            multiproof.compress(positions, tc_paths[1]))
+
+        fri_open: List[FriLayerOpenings] = []
+        for d, (folded, half) in enumerate(foldeds_l[i]):
+            nf = len(folded)
+            vals_d = fri_vals_l[i][d]
+            pairs = [(int(vals_d[j]), int(vals_d[nq_pad + j]))
+                     for j in range(nf)]
+            fri_open.append(FriLayerOpenings(
+                pairs, fri_paths_l[i][d],
+                multiproof.compress(folded, fri_paths_l[i][d])))
 
         tc, tn, qc, qn = ood[i]
         proofs.append(StarkProof(
@@ -570,7 +645,7 @@ def _prove_wave(preps: List[_SegPrep], mesh,
             ood_quotient_current=qc, ood_quotient_next=qn,
             fri_roots=[c.root for c in fri_comms_w[i]],
             fri_remainder=fri_remainder,
-            pow_nonce=pow_nonce,
+            pow_nonce=nonces[i],
             trace_openings=trace_open,
             constraint_openings=constraint_open,
             fri_openings=fri_open))
@@ -673,8 +748,18 @@ def prove_program_mesh(program: Program, pub_inputs: pi_mod.PublicInputs,
             waves.append(grp[s:s + W])
 
     steps: List[Optional[StepProof]] = [None] * n_seg
-    for wave_preps in waves:
-        inner_proofs = _prove_wave(wave_preps, mesh, wave_width=W)
+    # prefetch every wave's column upload up-front: device_put is async,
+    # so waves 1.. transfer while wave 0 computes (ZKL_WAVE_PREFETCH=0
+    # restores the lazy per-wave upload).  HBM cost is small — the
+    # uint16 trace is ~13 MB/segment vs the wave's multi-GB LDE arrays.
+    staged: List = [None] * len(waves)
+    if os.environ.get("ZKL_WAVE_PREFETCH", "") != "0":
+        for i, wv in enumerate(waves):
+            staged[i] = _stage_wave_cols(wv, mesh, W)
+    for wi, wave_preps in enumerate(waves):
+        inner_proofs = _prove_wave(wave_preps, mesh, wave_width=W,
+                                   staged_cols=staged[wi])
+        staged[wi] = None
         for p, inner in zip(wave_preps, inner_proofs):
             zl1 = Zl1Proof.new_multi_segment(
                 suite_id, p.meta, pub_inputs, p.index, n_seg,

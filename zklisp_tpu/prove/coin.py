@@ -92,6 +92,49 @@ class RandomCoin:
             raise RuntimeError("failed to draw enough query positions")
         return values
 
+    @staticmethod
+    def grind_many(coins: List["RandomCoin"],
+                   grinding_factor: int) -> List[int]:
+        """Batched grind() across independent coins.
+
+        Each coin's PoW search is independent, so a wave of S segments
+        scans all S seeds in one device dispatch per 2^16-nonce sweep
+        (kernels.grind_hit_many_fn) instead of ~1.6 sequential
+        round-trips per segment.  Identical results to per-coin grind()
+        (smallest passing nonce per seed).  Falls back to scalar grind
+        off-device or for a single coin."""
+        if grinding_factor <= 0:
+            return [0] * len(coins)
+        import os
+        on_device = os.environ.get("ZKL_DEVICE", "").lower() in (
+            "jax", "tpu")
+        if not on_device or len(coins) == 1 or grinding_factor > 32:
+            return [c.grind(grinding_factor) for c in coins]
+        import numpy as np
+
+        import jax.numpy as jnp
+
+        from ..field import f128, limb
+        from . import kernels
+
+        seeds = limb.from_ints(
+            [f128.fold_bytes32_to_fe(c.seed) for c in coins])
+        seeds_dev = jnp.asarray(seeds)
+        fn = kernels.grind_hit_many_fn(len(coins), 1 << 16,
+                                       grinding_factor)
+        nonces: List[int | None] = [None] * len(coins)
+        batch = 1 << 16
+        start = 0
+        while any(v is None for v in nonces) and start < (1 << 62):
+            hits = np.asarray(fn(seeds_dev,
+                                 (jnp.uint32(start & 0xFFFFFFFF),
+                                  jnp.uint32(start >> 32))))
+            for i, h in enumerate(hits):
+                if nonces[i] is None and int(h) < batch:
+                    nonces[i] = start + int(h)
+            start += batch
+        return [int(v) for v in nonces]
+
     def check_leading_zeros(self, nonce: int) -> int:
         digest = pos.merge_with_int(self.seed, nonce)
         head = int.from_bytes(digest[0:8], "little")
