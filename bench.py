@@ -211,7 +211,7 @@ def run_lde_commit(small: bool, cpu: bool) -> None:
 
     _emit({"metric": "lde_commit_rows_per_sec_2e16",
            "value": round(N / steady, 1), "unit": "rows/s",
-           "vs_baseline": 1.0,
+           "vs_baseline": None,
            "detail": {"trace_rows": n, "lde_rows": N, "width": width,
                       "blowup": blowup, "steady_s": round(steady, 3),
                       "compile_s": round(compile_s, 1),
@@ -275,8 +275,11 @@ def main() -> None:
     # surface (no Pallas Poseidon, no MXU NTT) — the r3 failure was the
     # tunnel's remote-compile helper crashing on the same graphs every
     # retry, so an identical second attempt is wasted budget.
+    # attempt 2 also disables the wave-assembly overlap (two waves of
+    # device arrays resident) in case attempt 1 died on HBM pressure
     attempt_envs = [{}, {"ZKL_NO_PALLAS_POSEIDON": "1",
-                         "ZKL_NO_MXU_NTT": "1"}]
+                         "ZKL_NO_MXU_NTT": "1",
+                         "ZKL_WAVE_OVERLAP": "0"}]
     for i, extra_env in enumerate(attempt_envs):
         if _remaining() < 300:
             break

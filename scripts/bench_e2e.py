@@ -90,6 +90,9 @@ def main() -> None:
                          "reference rollup-bench config uses "
                          "max_concurrent_segments=8 on an M3 Max)")
     ap.add_argument("--verify", action="store_true")
+    ap.add_argument("--skip-byte-check", action="store_true",
+                    help="skip the device/host StepProof byte-equality "
+                         "evidence run")
     ap.add_argument("--no-agg", action="store_true")
     ap.add_argument("--once", action="store_true",
                     help="skip the steady-state second round")
@@ -171,7 +174,9 @@ def main() -> None:
     # bench.py falls back to the last INTERIM result instead of failing
     print("INTERIM " + json.dumps({
         "metric": "proved_rows_per_sec_2e16_e2e",
-        "value": round(cold, 1), "unit": "rows/s", "vs_baseline": 1.0,
+        "value": round(cold, 1), "unit": "rows/s", "vs_baseline": None,
+        "baseline_note": "reference publishes no machine-readable "
+                         "baseline (BASELINE.md); no denominator exists",
         "detail": {"workload": args.workload,
                    "rows": rows, "segments": len(steps),
                    "cold_rows_per_sec": round(cold, 1),
@@ -187,27 +192,98 @@ def main() -> None:
     # device compiles dominate the cold round on this tunneled chip)
     steady = None
     t_prove2 = t_agg2 = 0.0
+    verify_s = None
+    verified = None
     if not args.once:
-        t0 = time.time()
-        steps = prover.prove_program(prog, pi, opts)
-        t_prove2 = time.time() - t0
-        if not args.no_agg:
+        if args.no_agg:
             t0 = time.time()
-            agg_pi = agg.build_agg_public(steps)
-            agg_pi.pi_digest = pi.digest()
-            proof, digest = agg.recursion_prove(steps, agg_pi, opts)
-            t_agg2 = time.time() - t0
+            steps = prover.prove_program(prog, pi, opts)
+            t_prove2 = time.time() - t0
+        else:
+            # the steady round exercises the PIPELINED chain: child FS
+            # replay prefetched behind later proving waves
+            # (agg.prove_chain), the long-running service's real path
+            t0 = time.time()
+            proof, digest, agg_pi = agg.prove_chain(prog, pi, opts)
+            t_chain = time.time() - t0
+            t_prove2 = agg.LAST_CHAIN_TIMINGS.get("steps_s", t_chain)
+            t_agg2 = agg.LAST_CHAIN_TIMINGS.get("agg_s", 0.0)
+            # the recorded run must carry evidence the artifact VERIFIES
+            # (reference verify path: prove.rs:732-800); verify time is
+            # excluded from the throughput number, matching the
+            # reference's prove-only accounting
+            t0 = time.time()
+            agg.verify_agg(proof, agg_pi)
+            verify_s = round(time.time() - t0, 2)
+            verified = True
+            print(f"verify agg (steady): {verify_s:.2f}s ok", flush=True)
         steady = rows / (t_trace + t_prove2 + t_agg2)
         print(f"steady round: prove {t_prove2:.2f}s agg {t_agg2:.2f}s",
               flush=True)
+        # salvage line again: protect the steady number from a
+        # timeout/crash during the byte-equality check below
+        print("INTERIM " + json.dumps({
+            "metric": "proved_rows_per_sec_2e16_e2e",
+            "value": round(steady, 1), "unit": "rows/s",
+            "vs_baseline": None,
+            "detail": {"workload": args.workload, "rows": rows,
+                       "segments": len(steps),
+                       "cold_rows_per_sec": round(cold, 1),
+                       "trace_s": round(t_trace, 2),
+                       "prove_s": round(t_prove, 2),
+                       "agg_s": round(t_agg, 2),
+                       "steady_prove_s": round(t_prove2, 2),
+                       "steady_agg_s": round(t_agg2, 2),
+                       "verify_s": verify_s, "verified": verified,
+                       "phase": "steady (byte check not finished)",
+                       "queries": args.queries, "blowup": args.blowup,
+                       "grind": args.grind}}), flush=True)
+
+    # Device/host byte-equality evidence ON THIS BACKEND: prove one
+    # small single-segment program twice — jit-staged device path vs
+    # the numpy host prover — and compare StepProof bytes.  The fast
+    # test tier asserts this on CPU; running it here records it for the
+    # real TPU (exact integer limb math should agree everywhere, but
+    # the MXU-assisted paths deserve recorded evidence, not "should").
+    bytes_equal = None
+    if os.environ.get("ZKL_DEVICE", "").lower() in ("jax", "tpu") \
+            and not args.skip_byte_check:
+        try:
+            t0 = time.time()
+            bsrc = ("(def (main a b)\n"
+                    "  (let ((h (hash2 a b)))\n"
+                    "    (+ (* h h) (hash2 h a))))\n")
+            bprog = compile_entry(bsrc, [3, 5])
+            bpi = (PublicInputsBuilder(bprog)
+                   .with_main_args([VmArg.u64(3), VmArg.u64(5)])
+                   .build())
+            bopts = ProverOptions(queries=8, blowup=8, grind=0,
+                                  min_security_bits=0)
+            dev_steps = prover.prove_program(bprog, bpi, bopts)
+            saved = os.environ.get("ZKL_DEVICE", "")
+            os.environ["ZKL_DEVICE"] = ""
+            try:
+                host_steps = prover.prove_program(bprog, bpi, bopts)
+            finally:
+                os.environ["ZKL_DEVICE"] = saved
+            bytes_equal = (len(dev_steps) == len(host_steps) and all(
+                d.to_bytes() == h.to_bytes()
+                for d, h in zip(dev_steps, host_steps)))
+            print(f"byte check: device==host {bytes_equal} "
+                  f"({time.time() - t0:.1f}s)", flush=True)
+        except Exception as e:
+            print(f"byte check skipped: {type(e).__name__}: "
+                  f"{str(e)[:200]}", file=sys.stderr, flush=True)
 
     print(json.dumps({
         "metric": "proved_rows_per_sec_2e16_e2e",
         "value": round(steady if steady is not None else cold, 1),
         "unit": "rows/s",
         # the reference publishes no machine-readable numbers
-        # (BASELINE.md); 1.0 is the placeholder denominator
-        "vs_baseline": 1.0,
+        # (BASELINE.md), so there is no honest denominator
+        "vs_baseline": None,
+        "baseline_note": "reference publishes no machine-readable "
+                         "baseline (BASELINE.md); no denominator exists",
         "detail": {
             "workload": args.workload,
             "rows": rows, "segments": len(steps),
@@ -216,6 +292,8 @@ def main() -> None:
             "agg_s": round(t_agg, 2),
             "steady_prove_s": round(t_prove2, 2),
             "steady_agg_s": round(t_agg2, 2),
+            "verify_s": verify_s, "verified": verified,
+            "device_host_bytes_equal": bytes_equal,
             "queries": args.queries, "blowup": args.blowup,
             "grind": args.grind,
             "device": os.environ.get("ZKL_DEVICE", "host"),
