@@ -37,6 +37,43 @@ class ProveError(Exception):
     pass
 
 
+class MerkleRootMismatch(ProveError):
+    """The trace's computed merkle-verify root chain does not match
+    PublicInputs.merkle_root — the proof could never verify."""
+
+
+def check_merkle_root_binding(full_trace,
+                              pub_inputs: pi_mod.PublicInputs) -> None:
+    """Fail fast on a wrong merkle root BEFORE proving.
+
+    The AIR binds every merkle_last accumulator to the PI root
+    (vm/air/merkle.rs root assertion); the reference only discovers a
+    mismatch at verify time ("OOD constraint composition mismatch"),
+    after a full proving run.  The trace builder already computed every
+    chain root host-side (trace.merkle_roots), so compare here and
+    raise a named error in seconds.  Streamed traces skip the check
+    (their slotted sinks carry no ledger).  Opt out:
+    ZKL_MERKLE_ROOT_CHECK=0 (used by adversarial tests that need the
+    doomed artifact)."""
+    if not (pub_inputs.feature_mask & pi_mod.FM_MERKLE):
+        return
+    if os.environ.get("ZKL_MERKLE_ROOT_CHECK", "") == "0":
+        return
+    roots = getattr(full_trace, "merkle_roots", None)
+    if not roots:
+        return
+    expected = f128.be_from_le8(pub_inputs.merkle_root)
+    for i, root in enumerate(roots):
+        if root != expected:
+            raise MerkleRootMismatch(
+                f"merkle-verify chain {i} computes root {root:#034x} "
+                f"but PublicInputs.merkle_root decodes to "
+                f"{expected:#034x}; a proof built now could never "
+                f"verify — fix the root passed to with_merkle_root / "
+                f"--merkle-root (crypto.poseidon.merkle_root_from_path "
+                f"computes it from the path)")
+
+
 def _xp():
     """Array namespace for the device compute path.
 
@@ -61,7 +98,11 @@ def _device_mode() -> bool:
 
 
 def prove_program(program: Program, pub_inputs: pi_mod.PublicInputs,
-                  opts: ProverOptions) -> List[StepProof]:
+                  opts: ProverOptions,
+                  on_steps=None) -> List[StepProof]:
+    # on_steps: optional hook called with each batch of finished
+    # StepProofs as soon as it is assembled (aggregation pipelining —
+    # agg.prove_chain prefetches child FS replay behind later waves).
     # ZKL_MESH=1: shard segments across all visible devices (waves of
     # structurally-identical segments, every stage one vmapped dispatch
     # — parallel/mesh_prover.py).  Proofs byte-identical to this path.
@@ -70,7 +111,8 @@ def prove_program(program: Program, pub_inputs: pi_mod.PublicInputs,
         import jax
         if len(jax.devices()) > 1:
             from ..parallel.mesh_prover import prove_program_mesh
-            return prove_program_mesh(program, pub_inputs, opts)
+            return prove_program_mesh(program, pub_inputs, opts,
+                                      on_steps=on_steps)
     base_opts = opts.to_proof_options()
     segments = planner.plan_segments(program, pub_inputs, opts)
     if not segments:
@@ -94,12 +136,14 @@ def prove_program(program: Program, pub_inputs: pi_mod.PublicInputs,
     if (not stream_mode and len(segments) > 1 and _device_mode()
             and os.environ.get("ZKL_WAVE", "") != "0"):
         from ..parallel.mesh_prover import prove_program_mesh
-        return prove_program_mesh(program, pub_inputs, opts)
+        return prove_program_mesh(program, pub_inputs, opts,
+                                  on_steps=on_steps)
     if stream_mode:
         from ..trace.stream import StreamedTrace
         full_trace = StreamedTrace(program, pub_inputs, segments)
     else:
         full_trace = tb.build_trace(program, pub_inputs)
+        check_merkle_root_binding(full_trace, pub_inputs)
     suite_id = pub_inputs.program_id
     rom_acc = (tb.rom_acc_from_program(program)
                if any(pub_inputs.program_id) else (0, 0, 0))
@@ -151,6 +195,8 @@ def prove_program(program: Program, pub_inputs: pi_mod.PublicInputs,
             steps.append(step)
             windows[i] = dev16s[i] = None
             prev_state = tb.PrevState(state_out)
+            if on_steps is not None:
+                on_steps([step])
         if prefetch is not None:
             prefetch.shutdown(wait=False)
         return steps
@@ -173,6 +219,8 @@ def prove_program(program: Program, pub_inputs: pi_mod.PublicInputs,
                 program, pub_inputs, base_opts, opts.min_security_bits,
                 None)
             steps[i] = step
+            if on_steps is not None:
+                on_steps([step])
 
         _run(0)
         if n_seg > 1:

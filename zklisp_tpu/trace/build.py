@@ -568,6 +568,18 @@ def _fill_vm(trace: TraceTable, prog: Program, pi: pi_mod.PublicInputs,
             for r in range(row_final, base + steps):
                 trace.set(cols.merkle_acc, r, out)
             merkle_last_out = out
+            if isinstance(op, O.MerkleStepLast):
+                # ledger of computed chain roots: the AIR binds every
+                # merkle_last acc to PublicInputs.merkle_root
+                # (vm/air/merkle.rs root assertion), so the prove path
+                # fail-fasts on a mismatch instead of burning a full
+                # proving run (prover.check_merkle_root_binding)
+                try:
+                    if not hasattr(trace, "merkle_roots"):
+                        trace.merkle_roots = []
+                    trace.merkle_roots.append(out)
+                except AttributeError:
+                    pass   # slotted streaming sinks skip the ledger
         elif isinstance(op, O.Load):
             trace.set(cols.op_load, row_map, 1)
             _set_sel(trace, row_map, cols.sel_dst0_start, op.dst)

@@ -15,7 +15,8 @@ from ..field import limb
 
 
 class TraceTable:
-    __slots__ = ("width", "length", "cols", "_limbs16", "_uniform_usage")
+    __slots__ = ("width", "length", "cols", "_limbs16", "_uniform_usage",
+                 "merkle_roots")
 
     def __init__(self, width: int, length: int) -> None:
         self.width = width
