@@ -35,3 +35,46 @@ def test_wave_chunk_never_exceeds_rows():
             for S in (1, 2, 8):
                 chunk = _commit_row_chunk(N, S)
                 assert 0 < chunk <= N, (n, blowup, S, chunk)
+
+
+def test_mesh_chain_check_detects_broken_chain():
+    """ZKL_MESH_CHAIN's comparison logic (host branch): a doctored
+    boundary must raise; an honest chain must not."""
+    import numpy as np
+    import pytest as _pytest
+
+    from zklisp_tpu.parallel.mesh_prover import _chain_check_mesh
+    from zklisp_tpu.trace.build import TraceError
+
+    class P:
+        def __init__(self, i, o):
+            self.boundary = {"state_in_hash": i, "state_out_hash": o}
+
+    h = [bytes([k] * 32) for k in range(4)]
+    good = [P(h[0], h[1]), P(h[1], h[2]), P(h[2], h[3])]
+    _chain_check_mesh(good, None)
+    bad = [P(h[0], h[1]), P(h[3], h[2]), P(h[2], h[3])]
+    with _pytest.raises(TraceError, match="chain"):
+        _chain_check_mesh(bad, None)
+
+
+def test_mesh_chain_check_on_virtual_mesh():
+    """The sharded ppermute+psum path on the 8-device CPU mesh."""
+    import pytest as _pytest
+
+    from zklisp_tpu.parallel.mesh_prover import (_chain_check_mesh,
+                                                 default_mesh)
+    from zklisp_tpu.trace.build import TraceError
+
+    class P:
+        def __init__(self, i, o):
+            self.boundary = {"state_in_hash": i, "state_out_hash": o}
+
+    h = [bytes([k] * 32) for k in range(17)]
+    mesh = default_mesh(8)
+    good = [P(h[k], h[k + 1]) for k in range(16)]
+    _chain_check_mesh(good, mesh)
+    bad = list(good)
+    bad[9] = P(h[16], h[10])       # break one cross-device boundary
+    with _pytest.raises(TraceError, match="chain"):
+        _chain_check_mesh(bad, mesh)

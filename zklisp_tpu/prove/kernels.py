@@ -39,18 +39,31 @@ def lde_columns_fn(n: int, blowup: int):
     return jax.jit(jax.vmap(one_col))
 
 
-@lru_cache(maxsize=None)
 def leaf_hash_fn(width: int, partition_size: int):
-    """jitted (B, width, 8) rows -> (B, 8) Poseidon leaf digests."""
+    """jitted (B, width, 8) rows -> (B, 8) Poseidon leaf digests.
+
+    The traced body bakes the FS-hasher round count
+    (ZKL_POSEIDON_HASHER_ROUNDS, resolved inside sponge_fes at trace
+    time), so every hash-executable cache keys on it — a process that
+    switches the env mid-run must not reuse stale executables."""
+    return _leaf_hash_fn(width, partition_size, pj.pos.hasher_rounds())
+
+
+@lru_cache(maxsize=None)
+def _leaf_hash_fn(width: int, partition_size: int, rounds: int):
     import jax
     jnp = _jnp()
     return jax.jit(partial(pj.hash_rows_partitioned,
                            partition_size=partition_size, xp=jnp))
 
 
-@lru_cache(maxsize=None)
 def merkle_levels_fn(n_leaves: int):
     """jitted (n_leaves, 8) digests -> tuple of tree levels."""
+    return _merkle_levels_fn(n_leaves, pj.pos.hasher_rounds())
+
+
+@lru_cache(maxsize=None)
+def _merkle_levels_fn(n_leaves: int, rounds: int):
     import jax
     jnp = _jnp()
 
@@ -75,8 +88,12 @@ def commit_device(rows, partition_size: int):
     return levels
 
 
-@lru_cache(maxsize=None)
 def grind_scan_fn(batch: int):
+    return _grind_scan_fn(batch, pj.pos.hasher_rounds())
+
+
+@lru_cache(maxsize=None)
+def _grind_scan_fn(batch: int, rounds: int):
     """Jitted PoW scan: lo-64 digest words for `batch` candidate nonces.
 
     merge_with_int(seed, v) absorbs two chunks — fold(seed) and v — and
@@ -108,8 +125,12 @@ def grind_scan_fn(batch: int):
     return jax.jit(fn, static_argnums=())
 
 
-@lru_cache(maxsize=None)
 def grind_hit_fn(batch: int, grinding_factor: int):
+    return _grind_hit_fn(batch, grinding_factor, pj.pos.hasher_rounds())
+
+
+@lru_cache(maxsize=None)
+def _grind_hit_fn(batch: int, grinding_factor: int, rounds: int):
     """Jitted PoW scan returning only the FIRST hit index (or `batch`).
 
     Same Poseidon scan as grind_scan_fn, but the pass test (low 64
@@ -133,8 +154,14 @@ def grind_hit_fn(batch: int, grinding_factor: int):
     return jax.jit(fn)
 
 
-@lru_cache(maxsize=None)
 def grind_hit_many_fn(n_seeds: int, batch: int, grinding_factor: int):
+    return _grind_hit_many_fn(n_seeds, batch, grinding_factor,
+                              pj.pos.hasher_rounds())
+
+
+@lru_cache(maxsize=None)
+def _grind_hit_many_fn(n_seeds: int, batch: int, grinding_factor: int,
+                       rounds: int):
     """grind_hit_fn vmapped over independent coin seeds.
 
     A wave proves S segments whose PoW searches are independent (each
