@@ -27,9 +27,11 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# Persistent XLA compile cache: device-prover stage compiles survive
-# test-process restarts (cuts repeat runs of the staged-prover tests
-# from ~20 min to seconds of tracing).
+# Persistent XLA compile cache: no-op on the CPU backend by default
+# (jaxlib 0.9.0's XLA:CPU executable serialization crashes on several
+# of this project's programs — see utils/jitcache.py).  Re-enable on a
+# healthy jaxlib with ZKL_JIT_CACHE_CPU=1 to cut repeat runs of the
+# staged-prover tests from ~20 min to seconds.
 from zklisp_tpu.utils import jitcache  # noqa: E402
 
 jitcache.enable()

@@ -396,17 +396,24 @@ def _prove_wave(preps: List[_SegPrep], mesh,
             sgl_betas[si, :ns] = limb.from_ints(
                 [betas_l[si][i] for i in sgl_pos])
 
-    quot_fn = _cached(
-        ("quotv2", n, blowup, Q, ngc, ngs, dperiod, S, blowup_c),
+    # two-executable quotient (see stark_device._quotient_fn: the fused
+    # form crashes jaxlib 0.9.0's XLA:CPU compile/serialize paths)
+    qcomp_fn = _cached(
+        ("quotcomp", n, ngc, ngs, dperiod, S, blowup_c),
         lambda: jax.jit(jax.vmap(
-            sd._quotient_fn(n, blowup, Q, ngc, ngs, dperiod, blowup_c),
+            sd._quotient_comp_fn(n, ngc, ngs, dperiod, blowup_c),
             in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, None))))
+    qfin_fn = _cached(
+        ("quotfin", n, blowup, Q, S, blowup_c),
+        lambda: jax.jit(jax.vmap(
+            sd._quotient_finish_fn(n, blowup, Q, blowup_c))))
     ph = phase("wave_quotient", S=S); ph.__enter__()
-    q_polys, q_lde = quot_fn(
+    comp_w = qcomp_fn(
         acc, trace_lde_c,
         put(cyc_idx), put(cyc_vals), put(cyc_divp_a), put(cyc_betas),
         put(sgl_idx), put(sgl_vals), put(sgl_div_a), put(sgl_betas),
         jnp.asarray(zinv))
+    q_polys, q_lde = qfin_fn(comp_w)
     jax.block_until_ready(q_lde); ph.__exit__(None, None, None)
 
     ps_con = opts.partition_size(Q)

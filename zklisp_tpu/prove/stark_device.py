@@ -395,9 +395,16 @@ def _scan_blocks_fn(air: ZkLispAir, specs, blowup: int):
 @lru_cache(maxsize=None)
 def _quotient_fn(n: int, blowup: int, Q: int, ngc: int, ngs: int,
                  dperiod: int, blowup_c: int = 0):
-    """Boundary terms + zerofier + quotient split + quotient LDE; group
-    data is traced, so one compile serves every program with the same
-    (n, blowup, Q, group buckets).
+    """Boundary terms + zerofier + quotient split + quotient LDE.
+
+    Returns a plain Python function composing TWO jitted executables
+    (_quotient_comp_fn for the boundary/zerofier scans,
+    _quotient_finish_fn for the interpolate/evaluate tail).  The
+    single fused executable this used to be triggers hard crashes in
+    jaxlib 0.9.0's XLA:CPU path — aborts/SIGSEGVs in compile-and-load,
+    serialize AND deserialize, at every trace size — while the two
+    halves are stable.  Results are exact integer field math either
+    way, so proof bytes are unchanged.
 
     blowup_c (default = blowup) is the COMPOSITION evaluation domain
     blowup: the quotient polynomial has degree < Q*n (the capacity
@@ -407,19 +414,34 @@ def _quotient_fn(n: int, blowup: int, Q: int, ngc: int, ngs: int,
     blowup 16.  comb/lde/divisor/zinv inputs must be sampled on that
     sub-domain; q_polys (and therefore the proof bytes) are identical
     to the full-domain evaluation."""
+    comp_fn = _quotient_comp_fn(n, ngc, ngs, dperiod,
+                                blowup_c or blowup)
+    finish_fn = _quotient_finish_fn(n, blowup, Q, blowup_c or blowup)
+
+    def quotient(comb, lde, cyc_idx, cyc_vals, cyc_divp, cyc_betas,
+                 sgl_idx, sgl_vals, sgl_div, sgl_betas, zinv):
+        comp = comp_fn(comb, lde, cyc_idx, cyc_vals, cyc_divp,
+                       cyc_betas, sgl_idx, sgl_vals, sgl_div,
+                       sgl_betas, zinv)
+        return finish_fn(comp)
+
+    return quotient
+
+
+@lru_cache(maxsize=None)
+def _quotient_comp_fn(n: int, ngc: int, ngs: int, dperiod: int,
+                      blowup_c: int):
+    """Boundary-term scans + zerofier apply: comb -> comp (N_c, 8).
+
+    zkl_nocache: its persistent-cache entries crash XLA:CPU
+    (de)serialization in jaxlib 0.9.0 (utils/jitcache skips them)."""
     import jax
     jnp = _jnp()
-    blowup_c = blowup_c or blowup
     N = n * blowup_c
 
-    # NOTE the distinctive name: XLA:CPU LoadedExecutable (de)serialize
-    # crashes hard (SIGSEGV) on this executable family in jaxlib 0.9.0
-    # — both writing and re-loading the persistent-cache entry.  The
-    # "zkl_nocache" prefix makes utils/jitcache exclude it from the
-    # persistent cache on the CPU backend (see jitcache._patch_cache).
-    def zkl_nocache_quotient(comb, lde, cyc_idx, cyc_vals, cyc_divp,
-                             cyc_betas, sgl_idx, sgl_vals, sgl_div,
-                             sgl_betas, zinv):
+    def zkl_nocache_quotient_comp(comb, lde, cyc_idx, cyc_vals,
+                                  cyc_divp, cyc_betas, sgl_idx,
+                                  sgl_vals, sgl_div, sgl_betas, zinv):
         comp = limb.mul(comb, zinv, jnp)
         # Boundary terms accumulate via lax.scan ONE GROUP AT A TIME:
         # the vectorized form materializes the limb-mul's 512 B/element
@@ -453,13 +475,25 @@ def _quotient_fn(n: int, blowup: int, Q: int, ngc: int, ngs: int,
             comp, _ = jax.lax.scan(sgl_body, comp,
                                    (sgl_idx, sgl_vals, sgl_div,
                                     sgl_betas))
+        return comp
+
+    return jax.jit(zkl_nocache_quotient_comp)
+
+
+@lru_cache(maxsize=None)
+def _quotient_finish_fn(n: int, blowup: int, Q: int, blowup_c: int):
+    """comp (N_c, 8) -> (q_polys (Q, n, 8), q_lde (Q, N, 8))."""
+    import jax
+    jnp = _jnp()
+
+    def zkl_nocache_quotient_finish(comp):
         coeffs = ntt.coset_interpolate(comp, blowup_c, jnp)
         q_polys = coeffs[:Q * n].reshape(Q, n, limb.NLIMB)
         q_lde = jax.vmap(lambda p_: ntt.coset_evaluate(
             p_, blowup, jnp))(q_polys)
         return q_polys, q_lde
 
-    return jax.jit(zkl_nocache_quotient)
+    return jax.jit(zkl_nocache_quotient_finish)
 
 
 def _bucket(x: int, step: int = 8) -> int:

@@ -60,6 +60,26 @@ def enable(cache_dir: str | None = None) -> None:
     if _enabled or os.environ.get("ZKL_NO_JIT_CACHE"):
         return
     import jax
+
+    # XLA:CPU LoadedExecutable serialization is BROKEN in jaxlib 0.9.0
+    # for several of this project's executables: serialize, deserialize
+    # and compile-and-load all SIGSEGV/abort deterministically on
+    # specific programs (first the quotient family, then a second
+    # family in the FRI path — there is no reliable way to enumerate
+    # them).  A persistent cache that can crash any later process that
+    # READS a poisoned entry is worse than no cache, so the CPU backend
+    # runs uncached by default.  ZKL_JIT_CACHE_CPU=1 force-enables it
+    # for environments with a healthy jaxlib.  Device backends (axon
+    # TPU) keep the cache — their serialization path is separate and
+    # has been exercised by every bench round.
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        backend = "unknown"
+    if backend == "cpu" and \
+            os.environ.get("ZKL_JIT_CACHE_CPU", "") != "1":
+        _enabled = True     # treat as enabled: never retry per process
+        return
     base = cache_dir or os.environ.get("ZKL_JIT_CACHE_DIR", _BASE_DIR)
     path = os.path.join(base, _host_fingerprint())
     os.makedirs(path, exist_ok=True)
