@@ -21,6 +21,23 @@ Pipeline:
 
 Shapes are bucketed (stack S to a power of two, instruction count I to
 multiples of 512, NOP-padded) to maximise executable reuse.
+
+Two executors share the recorded program:
+
+  scan    — the original one-instruction-per-`lax.scan`-step stack
+            machine (bytecode as runtime input; maximal executable
+            reuse, but ~4e3 sequential (N, 8) vector ops: dispatch
+            overhead dominates — measured ~50x below arithmetic peak).
+  leveled — the default on device backends (`ZKL_CVM_LEVEL=1/0`
+            overrides; CPU defaults to scan — compile-dominated runs
+            with the persistent cache disabled): the same Sym DAG
+            is scheduled into topological LEVELS; each level is at most
+            three BATCHED limb ops (one mul / add / sub over a (K, C, 8)
+            gather from a unified operand table), so the whole program
+            is ~tree-depth x 3 large device ops per row-chunk instead
+            of ~4e3 small ones.  The schedule is baked into the
+            executable as constants (keyed by a content hash), trading
+            executable reuse for near-arithmetic-peak throughput.
 """
 
 from __future__ import annotations
@@ -126,6 +143,7 @@ class CvmProgram:
     stack_size: int        # bucketed
     n_instr: int           # before padding
     n_slots: int = 0       # CSE slots (bucketed)
+    levels: "Optional[LevelProgram]" = None   # leveled-executor schedule
 
 
 _LEAF_OP = {"cur": OP_PUSH_CUR, "nxt": OP_PUSH_NXT, "per": OP_PUSH_PER,
@@ -247,7 +265,277 @@ def compile_constraints(roots: List[Tuple[Sym, int]],
         n_slots = 8
         while n_slots < ns:
             n_slots *= 2
-    return CvmProgram(ops, arg, imm, aidx, S, n_instr, n_slots)
+    prog = CvmProgram(ops, arg, imm, aidx, S, n_instr, n_slots)
+    prog.levels = compile_levels(roots)
+    return prog
+
+
+# ---------------------------------------------------------------------------
+# leveled executor: batched level-order schedule of the constraint DAG
+# ---------------------------------------------------------------------------
+
+SRC_SLOT, SRC_CUR, SRC_NXT, SRC_PER, SRC_PLAST, SRC_CONST = range(6)
+_BIN_KINDS = ("add", "sub", "mul")
+
+
+@dataclass
+class LevelProgram:
+    """Level-order schedule of the constraint DAG.
+
+    levels[L] is a list of (opkind, a_src, a_k, b_src, b_k, out_slot)
+    batches — at most one batch per opkind ('mul'/'add'/'sub') per
+    level, each a set of INDEPENDENT ops executed as one batched limb
+    op over a (K, C, 8) gather.  Slots are reused (freed one level
+    after their last consumer), so n_slots ~ DAG frontier, not node
+    count.  Root values stay pinned in their source location and are
+    combined at the end: acc = sum_i alphas[root_aidx[i]] * value_i.
+    """
+    levels: list            # [[(kind, a_src, a_k, b_src, b_k, out)], ...]
+    n_slots: int
+    root_src: _np.ndarray   # (R,) int32
+    root_k: _np.ndarray     # (R,) int32
+    root_aidx: _np.ndarray  # (R,) int32
+    consts: _np.ndarray     # (n_const, 8) uint32 limb pool
+    sig: str                # content hash — executable cache key
+
+
+_LEVEL_REGISTRY: Dict[str, LevelProgram] = {}
+
+
+def compile_levels(roots: List[Tuple[Sym, int]]) -> Optional[LevelProgram]:
+    """Schedule the Sym DAG (shared nodes by object identity) into
+    topological levels with slot reuse.  Returns None for an empty
+    program."""
+    import hashlib
+    import heapq
+
+    if not roots:
+        return None
+
+    # 1. level of every unique node (iterative post-order)
+    level: Dict[int, int] = {}
+    node_by_id: Dict[int, Sym] = {}
+    work = [(r, 0) for r, _ in roots]
+    while work:
+        n, state = work.pop()
+        if state == 0:
+            if id(n) in level:
+                continue
+            node_by_id[id(n)] = n
+            if n.kind in _BIN_KINDS:
+                work.append((n, 1))
+                work.append((n.a, 0))
+                work.append((n.b, 0))
+            else:
+                level[id(n)] = 0
+        else:
+            if id(n) not in level:
+                level[id(n)] = 1 + max(level[id(n.a)], level[id(n.b)])
+
+    # 2. const pool
+    const_ix: Dict[int, int] = {}
+    for k, n in node_by_id.items():
+        if n.kind == "const" and n.k not in const_ix:
+            const_ix[n.k] = len(const_ix)
+    const_vals = [0] * len(const_ix)
+    for v, i in const_ix.items():
+        const_vals[i] = v
+
+    # 3. refcounts (uses of a binop node as an operand of another binop)
+    refcnt: Dict[int, int] = {}
+    binop_ids = [k for k, n in node_by_id.items() if n.kind in _BIN_KINDS]
+    for k in binop_ids:
+        n = node_by_id[k]
+        for ch in (n.a, n.b):
+            if ch.kind in _BIN_KINDS:
+                refcnt[id(ch)] = refcnt.get(id(ch), 0) + 1
+    root_ids = {id(r) for r, _ in roots}
+
+    # 4. schedule levels with slot reuse
+    from collections import defaultdict
+    by_level = defaultdict(list)
+    for k in binop_ids:
+        by_level[level[k]].append(k)
+    slot_of_n: Dict[int, int] = {}
+    free: list = []          # heap of (available_from_level, slot)
+    n_slots = 0
+    sched_levels = []
+    for L in sorted(by_level):
+        batches: Dict[str, list] = defaultdict(list)
+        for k in by_level[L]:
+            if free and free[0][0] <= L:
+                _, slot = heapq.heappop(free)
+            else:
+                slot = n_slots
+                n_slots += 1
+            slot_of_n[k] = slot
+        for k in by_level[L]:
+            n = node_by_id[k]
+            batches[n.kind].append(k)
+        sched_levels.append((L, batches))
+        # operands read at level L are free for reuse from L+1 — within
+        # a level every batch gathers BEFORE it scatters, but batches
+        # run sequentially, so same-level reuse would clobber.
+        for k in by_level[L]:
+            n = node_by_id[k]
+            for ch in (n.a, n.b):
+                cid = id(ch)
+                if ch.kind in _BIN_KINDS and cid not in root_ids:
+                    refcnt[cid] -= 1
+                    if refcnt[cid] == 0:
+                        heapq.heappush(free, (L + 1, slot_of_n[cid]))
+
+    def src_of(n: Sym) -> Tuple[int, int]:
+        if n.kind in _BIN_KINDS:
+            return SRC_SLOT, slot_of_n[id(n)]
+        if n.kind == "cur":
+            return SRC_CUR, n.k
+        if n.kind == "nxt":
+            return SRC_NXT, n.k
+        if n.kind == "per":
+            return SRC_PER, n.k
+        if n.kind == "plast":
+            return SRC_PLAST, 0
+        return SRC_CONST, const_ix[n.k]
+
+    levels_out = []
+    for L, batches in sched_levels:
+        lvl = []
+        for kind in _BIN_KINDS:
+            ids = batches.get(kind)
+            if not ids:
+                continue
+            a_src = _np.empty(len(ids), _np.int32)
+            a_k = _np.empty(len(ids), _np.int32)
+            b_src = _np.empty(len(ids), _np.int32)
+            b_k = _np.empty(len(ids), _np.int32)
+            out = _np.empty(len(ids), _np.int32)
+            for i, k in enumerate(ids):
+                n = node_by_id[k]
+                a_src[i], a_k[i] = src_of(n.a)
+                b_src[i], b_k[i] = src_of(n.b)
+                out[i] = slot_of_n[k]
+            lvl.append((kind, a_src, a_k, b_src, b_k, out))
+        levels_out.append(lvl)
+
+    root_src = _np.empty(len(roots), _np.int32)
+    root_k = _np.empty(len(roots), _np.int32)
+    root_aidx = _np.asarray([aix for _, aix in roots], _np.int32)
+    for i, (r, _) in enumerate(roots):
+        root_src[i], root_k[i] = src_of(r)
+    consts = _np.asarray(limb.from_ints(const_vals)).reshape(-1, limb.NLIMB)
+
+    h = hashlib.sha256()
+    h.update(_np.int64(n_slots).tobytes())
+    for lvl in levels_out:
+        for kind, a_src, a_k, b_src, b_k, out in lvl:
+            h.update(kind.encode())
+            for arr in (a_src, a_k, b_src, b_k, out):
+                h.update(arr.tobytes())
+        h.update(b"|")
+    for arr in (root_src, root_k, root_aidx, consts):
+        h.update(arr.tobytes())
+    lp = LevelProgram(levels_out, n_slots, root_src, root_k, root_aidx,
+                      consts, h.hexdigest())
+    _LEVEL_REGISTRY[lp.sig] = lp
+    return lp
+
+
+@lru_cache(maxsize=None)
+def _exec_level_fn(sig: str, w: int, n_perp: int, period: int, N: int,
+                   blowup: int):
+    """Build + jit the leveled executor.  The schedule is baked in as
+    constants (cache key = content hash + shapes); rows are processed
+    in chunks so the unified operand table stays ~(n_slots + 2w) x C
+    x 8 u32 regardless of N."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    lp = _LEVEL_REGISTRY[sig]
+    NS = max(lp.n_slots, 1)
+    n_const = lp.consts.shape[0]
+    off = {SRC_SLOT: 0, SRC_CUR: NS, SRC_NXT: NS + w,
+           SRC_PER: NS + 2 * w, SRC_PLAST: NS + 2 * w + n_perp,
+           SRC_CONST: NS + 2 * w + n_perp + 1}
+
+    C = min(N, 1024)
+    if period > C:
+        C = period
+    assert N % C == 0 and (C % period == 0 or period % C == 0)
+    n_chunks = N // C
+
+    def flat(src, k):
+        res = _np.empty(len(src), _np.int32)
+        for i in range(len(src)):
+            res[i] = off[int(src[i])] + int(k[i])
+        return res
+
+    sched = []
+    for lvl in lp.levels:
+        sched.append([(kind, flat(a_src, a_k), flat(b_src, b_k), out)
+                      for kind, a_src, a_k, b_src, b_k, out in lvl])
+    root_flat = flat(lp.root_src, lp.root_k)
+    consts_np = lp.consts
+    root_aidx = lp.root_aidx
+
+    def fn(lde, per_p, p_last, alphas):
+        rows = jnp.arange(C, dtype=jnp.int32)
+
+        def body(carry, ci):
+            r0 = ci * C
+            cur_blk = lax.dynamic_slice(lde, (0, r0, 0),
+                                        (w, C, limb.NLIMB))
+            nxt_idx = jnp.remainder(r0 + rows + blowup, N)
+            nxt_blk = jnp.take(lde, nxt_idx, axis=1)
+            if period <= C:
+                per_blk = jnp.broadcast_to(
+                    per_p[:, None], (n_perp, C // period, period,
+                                     limb.NLIMB)
+                ).reshape(n_perp, C, limb.NLIMB)
+            else:
+                per_blk = lax.dynamic_slice(
+                    per_p, (0, jnp.remainder(r0, period), 0),
+                    (n_perp, C, limb.NLIMB))
+            plast_blk = lax.dynamic_slice(
+                p_last, (r0, 0), (C, limb.NLIMB))[None]
+            const_blk = jnp.broadcast_to(
+                jnp.asarray(consts_np)[:, None, :],
+                (n_const, C, limb.NLIMB))
+            U = jnp.concatenate(
+                [jnp.zeros((NS, C, limb.NLIMB), jnp.uint32),
+                 cur_blk, nxt_blk, per_blk, plast_blk, const_blk], 0)
+            for lvl in sched:
+                for kind, a_idx, b_idx, out in lvl:
+                    A = U[a_idx]
+                    B = U[b_idx]
+                    if kind == "mul":
+                        R = limb.mul(A, B, jnp)
+                    elif kind == "add":
+                        R = limb.add(A, B, jnp)
+                    else:
+                        R = limb.sub(A, B, jnp)
+                    U = U.at[out].set(R)
+            Rr = U[root_flat]
+            al = alphas[jnp.asarray(root_aidx)]
+            term = limb.mul(Rr, al[:, None, :], jnp)
+            return carry, limb.sum_mod(term, 0, jnp)
+
+        _, accs = lax.scan(body, 0,
+                           jnp.arange(n_chunks, dtype=jnp.int32))
+        return accs.reshape(N, limb.NLIMB)
+
+    return jax.jit(fn)
+
+
+def execute_leveled(lp: LevelProgram, lde, per_p, p_last, alphas,
+                    blowup: int):
+    """Leveled-executor entry: same contract as `execute`."""
+    _LEVEL_REGISTRY.setdefault(lp.sig, lp)
+    w, N = lde.shape[0], lde.shape[1]
+    fn = _exec_level_fn(lp.sig, w, per_p.shape[0], per_p.shape[1], N,
+                        blowup)
+    return fn(lde, per_p, p_last, alphas)
 
 
 # ---------------------------------------------------------------------------
@@ -320,7 +608,26 @@ def _exec_fn(w: int, n_perp: int, period: int, N: int, blowup: int,
 def execute(prog: CvmProgram, lde, per_p, p_last, alphas, blowup: int):
     """Run the bytecode on device: returns (N, 8) accumulated
     sum_i alpha_i * C_i over the evaluation domain."""
+    import os
+
+    import jax
     import jax.numpy as jnp
+
+    # Leveled executor by default on device backends (near-arithmetic-
+    # peak).  The CPU backend defaults to the scan executor: its win is
+    # runtime, its cost is per-process XLA compile seconds, and CPU runs
+    # (tests, dryruns) are compile-dominated with the persistent cache
+    # disabled there (see utils/jitcache.py).  Both executors produce
+    # identical bytes (tests/test_cvm_level.py).
+    choice = os.environ.get("ZKL_CVM_LEVEL", "")
+    if choice == "":
+        try:
+            choice = "0" if jax.default_backend() == "cpu" else "1"
+        except Exception:
+            choice = "1"
+    if prog.levels is not None and choice != "0":
+        return execute_leveled(prog.levels, lde, per_p, p_last, alphas,
+                               blowup)
     w, N = lde.shape[0], lde.shape[1]
     fn = _exec_fn(w, per_p.shape[0], per_p.shape[1], N, blowup,
                   prog.stack_size, prog.ops.shape[0], prog.n_slots)
