@@ -42,6 +42,7 @@ Two executors share the recorded program:
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import lru_cache
 from typing import Dict, List, Optional, Tuple
@@ -280,18 +281,22 @@ _BIN_KINDS = ("add", "sub", "mul")
 
 @dataclass
 class LevelProgram:
-    """Level-order schedule of the constraint DAG.
+    """Level-order schedule of the (rebalanced) constraint DAG.
 
-    levels[L] is a list of (opkind, a_src, a_k, b_src, b_k, out_slot)
-    batches — at most one batch per opkind ('mul'/'add'/'sub') per
-    level, each a set of INDEPENDENT ops executed as one batched limb
-    op over a (K, C, 8) gather.  Slots are reused (freed one level
-    after their last consumer), so n_slots ~ DAG frontier, not node
-    count.  Root values stay pinned in their source location and are
-    combined at the end: acc = sum_i alphas[root_aidx[i]] * value_i.
+    Single-use add/mul chains are first rebalanced into log-depth trees
+    (associativity is exact mod p, so values — and proof bytes — are
+    unchanged), which collapses the long sequential sum tails the AIR
+    emitters produce.  levels[L] is then a list of
+    (opkind, a_src, a_k, b_src, b_k, out_start) batches — at most one
+    batch per opkind per level, each a set of INDEPENDENT ops executed
+    as one batched limb op over a (K, C, 8) gather.  Outputs land at
+    STATIC contiguous positions (out_start, append order) via
+    dynamic_update_slice — TPU scatters serialize per index, appends
+    don't.  Root values are combined at the end:
+    acc = sum_i alphas[root_aidx[i]] * value_i.
     """
-    levels: list            # [[(kind, a_src, a_k, b_src, b_k, out)], ...]
-    n_slots: int
+    levels: list            # [[(kind, a_src, a_k, b_src, b_k, start)]]
+    n_slots: int            # total binop outputs (append positions)
     root_src: _np.ndarray   # (R,) int32
     root_k: _np.ndarray     # (R,) int32
     root_aidx: _np.ndarray  # (R,) int32
@@ -302,15 +307,86 @@ class LevelProgram:
 _LEVEL_REGISTRY: Dict[str, LevelProgram] = {}
 
 
+def _rebalance_roots(roots: List[Tuple[Sym, int]]) -> List[Tuple[Sym, int]]:
+    """Rewrite single-use add/mul chains as balanced (log-depth) trees.
+
+    Field add/mul are associative and commutative and every limb op
+    returns the canonical representative, so any reassociation computes
+    the SAME field element — proof bytes are unchanged (pinned by
+    tests/test_cvm_level.py against the scan executor).  Shared
+    subexpressions (operand refcount >= 2) and roots stay materialized:
+    a chain never expands past them, preserving the DAG's sharing."""
+    uses: Dict[int, int] = {}
+    node_by_id: Dict[int, Sym] = {}
+    for r, _ in roots:
+        uses[id(r)] = uses.get(id(r), 0) + 1   # pin roots (never folded)
+        stack = [r]
+        while stack:
+            n = stack.pop()
+            if id(n) not in node_by_id:
+                node_by_id[id(n)] = n
+                if n.kind in _BIN_KINDS:
+                    stack.append(n.a)
+                    stack.append(n.b)
+    # count operand edges (each edge once, including repeats)
+    for k, n in node_by_id.items():
+        if n.kind in _BIN_KINDS:
+            for ch in (n.a, n.b):
+                uses[id(ch)] = uses.get(id(ch), 0) + 1
+
+    def chain_terms(n: Sym) -> List[Sym]:
+        if n.kind == "sub":
+            return [n.a, n.b]
+        terms: List[Sym] = []
+        stack = [(n, True)]
+        while stack:
+            m, top = stack.pop()
+            if m.kind == n.kind and (top or uses[id(m)] == 1):
+                stack.append((m.b, False))
+                stack.append((m.a, False))
+            else:
+                terms.append(m)
+        # stack pops b-subtree first under LIFO; order is irrelevant
+        # for correctness (commutative) but keep it deterministic
+        return terms
+
+    memo: Dict[int, Sym] = {}
+    work = [(r, 0) for r, _ in roots]
+    while work:
+        n, state = work.pop()
+        if id(n) in memo:
+            continue
+        if n.kind not in _BIN_KINDS:
+            memo[id(n)] = n
+            continue
+        if state == 0:
+            work.append((n, 1))
+            for t in chain_terms(n):
+                work.append((t, 0))
+        else:
+            terms = [memo[id(t)] for t in chain_terms(n)]
+            if n.kind != "sub" and len(terms) > 2:
+                while len(terms) > 1:
+                    nxt = [Sym(n.kind, terms[i], terms[i + 1])
+                           for i in range(0, len(terms) - 1, 2)]
+                    if len(terms) % 2:
+                        nxt.append(terms[-1])
+                    terms = nxt
+                memo[id(n)] = terms[0]
+            else:
+                memo[id(n)] = Sym(n.kind, terms[0], terms[1])
+    return [(memo[id(r)], aix) for r, aix in roots]
+
+
 def compile_levels(roots: List[Tuple[Sym, int]]) -> Optional[LevelProgram]:
-    """Schedule the Sym DAG (shared nodes by object identity) into
-    topological levels with slot reuse.  Returns None for an empty
-    program."""
+    """Rebalance, then schedule the Sym DAG (shared nodes by object
+    identity) into topological levels with append-order output
+    positions.  Returns None for an empty program."""
     import hashlib
-    import heapq
 
     if not roots:
         return None
+    roots = _rebalance_roots(roots)
 
     # 1. level of every unique node (iterative post-order)
     level: Dict[int, int] = {}
@@ -341,49 +417,29 @@ def compile_levels(roots: List[Tuple[Sym, int]]) -> Optional[LevelProgram]:
     for v, i in const_ix.items():
         const_vals[i] = v
 
-    # 3. refcounts (uses of a binop node as an operand of another binop)
-    refcnt: Dict[int, int] = {}
-    binop_ids = [k for k, n in node_by_id.items() if n.kind in _BIN_KINDS]
-    for k in binop_ids:
-        n = node_by_id[k]
-        for ch in (n.a, n.b):
-            if ch.kind in _BIN_KINDS:
-                refcnt[id(ch)] = refcnt.get(id(ch), 0) + 1
-    root_ids = {id(r) for r, _ in roots}
-
-    # 4. schedule levels with slot reuse
+    # 3. schedule: batches in (level, add/sub/mul) order; every output
+    # gets the next append position — static contiguous ranges, no
+    # reuse (a scatter-free executor beats a smaller table on TPU)
     from collections import defaultdict
-    by_level = defaultdict(list)
-    for k in binop_ids:
-        by_level[level[k]].append(k)
+    by_level = defaultdict(lambda: defaultdict(list))
+    for k, n in node_by_id.items():
+        if n.kind in _BIN_KINDS:
+            by_level[level[k]][n.kind].append(k)
     slot_of_n: Dict[int, int] = {}
-    free: list = []          # heap of (available_from_level, slot)
     n_slots = 0
-    sched_levels = []
+    sched = []
     for L in sorted(by_level):
-        batches: Dict[str, list] = defaultdict(list)
-        for k in by_level[L]:
-            if free and free[0][0] <= L:
-                _, slot = heapq.heappop(free)
-            else:
-                slot = n_slots
+        lvl_ids = []
+        for kind in _BIN_KINDS:
+            ids = by_level[L].get(kind)
+            if not ids:
+                continue
+            start = n_slots
+            for k in ids:
+                slot_of_n[k] = n_slots
                 n_slots += 1
-            slot_of_n[k] = slot
-        for k in by_level[L]:
-            n = node_by_id[k]
-            batches[n.kind].append(k)
-        sched_levels.append((L, batches))
-        # operands read at level L are free for reuse from L+1 — within
-        # a level every batch gathers BEFORE it scatters, but batches
-        # run sequentially, so same-level reuse would clobber.
-        for k in by_level[L]:
-            n = node_by_id[k]
-            for ch in (n.a, n.b):
-                cid = id(ch)
-                if ch.kind in _BIN_KINDS and cid not in root_ids:
-                    refcnt[cid] -= 1
-                    if refcnt[cid] == 0:
-                        heapq.heappush(free, (L + 1, slot_of_n[cid]))
+            lvl_ids.append((kind, ids, start))
+        sched.append(lvl_ids)
 
     def src_of(n: Sym) -> Tuple[int, int]:
         if n.kind in _BIN_KINDS:
@@ -399,23 +455,18 @@ def compile_levels(roots: List[Tuple[Sym, int]]) -> Optional[LevelProgram]:
         return SRC_CONST, const_ix[n.k]
 
     levels_out = []
-    for L, batches in sched_levels:
+    for lvl_ids in sched:
         lvl = []
-        for kind in _BIN_KINDS:
-            ids = batches.get(kind)
-            if not ids:
-                continue
+        for kind, ids, start in lvl_ids:
             a_src = _np.empty(len(ids), _np.int32)
             a_k = _np.empty(len(ids), _np.int32)
             b_src = _np.empty(len(ids), _np.int32)
             b_k = _np.empty(len(ids), _np.int32)
-            out = _np.empty(len(ids), _np.int32)
             for i, k in enumerate(ids):
                 n = node_by_id[k]
                 a_src[i], a_k[i] = src_of(n.a)
                 b_src[i], b_k[i] = src_of(n.b)
-                out[i] = slot_of_n[k]
-            lvl.append((kind, a_src, a_k, b_src, b_k, out))
+            lvl.append((kind, a_src, a_k, b_src, b_k, start))
         levels_out.append(lvl)
 
     root_src = _np.empty(len(roots), _np.int32)
@@ -428,9 +479,10 @@ def compile_levels(roots: List[Tuple[Sym, int]]) -> Optional[LevelProgram]:
     h = hashlib.sha256()
     h.update(_np.int64(n_slots).tobytes())
     for lvl in levels_out:
-        for kind, a_src, a_k, b_src, b_k, out in lvl:
+        for kind, a_src, a_k, b_src, b_k, start in lvl:
             h.update(kind.encode())
-            for arr in (a_src, a_k, b_src, b_k, out):
+            h.update(_np.int64(start).tobytes())
+            for arr in (a_src, a_k, b_src, b_k):
                 h.update(arr.tobytes())
         h.update(b"|")
     for arr in (root_src, root_k, root_aidx, consts):
@@ -446,8 +498,10 @@ def _exec_level_fn(sig: str, w: int, n_perp: int, period: int, N: int,
                    blowup: int):
     """Build + jit the leveled executor.  The schedule is baked in as
     constants (cache key = content hash + shapes); rows are processed
-    in chunks so the unified operand table stays ~(n_slots + 2w) x C
-    x 8 u32 regardless of N."""
+    in chunks sized to a fixed per-call memory budget so the unified
+    operand table stays bounded regardless of N.  Outputs are written
+    with dynamic_update_slice at static contiguous offsets — never a
+    scatter."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -455,11 +509,17 @@ def _exec_level_fn(sig: str, w: int, n_perp: int, period: int, N: int,
     lp = _LEVEL_REGISTRY[sig]
     NS = max(lp.n_slots, 1)
     n_const = lp.consts.shape[0]
-    off = {SRC_SLOT: 0, SRC_CUR: NS, SRC_NXT: NS + w,
-           SRC_PER: NS + 2 * w, SRC_PLAST: NS + 2 * w + n_perp,
-           SRC_CONST: NS + 2 * w + n_perp + 1}
+    n_fixed = 2 * w + n_perp + 1 + n_const
+    off = {SRC_CUR: 0, SRC_NXT: w, SRC_PER: 2 * w,
+           SRC_PLAST: 2 * w + n_perp, SRC_CONST: 2 * w + n_perp + 1,
+           SRC_SLOT: n_fixed}
+    rows_total = n_fixed + NS
 
-    C = min(N, 1024)
+    # chunk: biggest power of two <= 4096 whose table fits ~192 MB
+    C = min(N, 4096)
+    budget = int(os.environ.get("ZKL_CVM_TABLE_BYTES", str(192 << 20)))
+    while C > 1024 and rows_total * C * limb.NLIMB * 4 > budget:
+        C //= 2
     if period > C:
         C = period
     assert N % C == 0 and (C % period == 0 or period % C == 0)
@@ -473,8 +533,9 @@ def _exec_level_fn(sig: str, w: int, n_perp: int, period: int, N: int,
 
     sched = []
     for lvl in lp.levels:
-        sched.append([(kind, flat(a_src, a_k), flat(b_src, b_k), out)
-                      for kind, a_src, a_k, b_src, b_k, out in lvl])
+        sched.append([(kind, flat(a_src, a_k), flat(b_src, b_k),
+                       n_fixed + start)
+                      for kind, a_src, a_k, b_src, b_k, start in lvl])
     root_flat = flat(lp.root_src, lp.root_k)
     consts_np = lp.consts
     root_aidx = lp.root_aidx
@@ -503,10 +564,10 @@ def _exec_level_fn(sig: str, w: int, n_perp: int, period: int, N: int,
                 jnp.asarray(consts_np)[:, None, :],
                 (n_const, C, limb.NLIMB))
             U = jnp.concatenate(
-                [jnp.zeros((NS, C, limb.NLIMB), jnp.uint32),
-                 cur_blk, nxt_blk, per_blk, plast_blk, const_blk], 0)
+                [cur_blk, nxt_blk, per_blk, plast_blk, const_blk,
+                 jnp.zeros((NS, C, limb.NLIMB), jnp.uint32)], 0)
             for lvl in sched:
-                for kind, a_idx, b_idx, out in lvl:
+                for kind, a_idx, b_idx, start in lvl:
                     A = U[a_idx]
                     B = U[b_idx]
                     if kind == "mul":
@@ -515,7 +576,7 @@ def _exec_level_fn(sig: str, w: int, n_perp: int, period: int, N: int,
                         R = limb.add(A, B, jnp)
                     else:
                         R = limb.sub(A, B, jnp)
-                    U = U.at[out].set(R)
+                    U = lax.dynamic_update_slice(U, R, (start, 0, 0))
             Rr = U[root_flat]
             al = alphas[jnp.asarray(root_aidx)]
             term = limb.mul(Rr, al[:, None, :], jnp)
